@@ -1,0 +1,218 @@
+"""PSMatrix — the distributed block-sparse matrix.
+
+TPU-native counterpart of NTPoly's ``Matrix_ps``
+(reference Source/Fortran/PSMatrixModule.F90:33-51,188-252): a square matrix
+tiled into bs x bs blocks, stored as block-ELL *column panels*:
+
+    col_ids : int32[Pc, NB, K]         global block-col ids (EMPTY = unused)
+    blocks  : dtype[Pc, NB, K, bs, bs]
+
+Panel p owns global block-cols [p*panel_nb, (p+1)*panel_nb).  The leading
+panel axis is sharded over the mesh 'cols' axis, the block-row axis over
+'rows', and the whole thing is replicated over 'slices' (exactly the
+reference's data distribution, where each slice holds a full copy and slices
+split the k-dimension of multiplies).  The logical dimension is padded up so
+blocks and panels divide evenly (reference CalculateScaledDimension,
+PSMatrixModule.F90:1596-1618); padded rows/cols are kept identically zero.
+
+The container is a pytree; all ops are functional (return new PSMatrix).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EMPTY, default_real_dtype
+from ..core import bell
+from .grid import ProcessGrid, global_grid
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PSMatrix:
+    col_ids: jax.Array                    # i32[Pc, NB, K]
+    blocks: jax.Array                     # dtype[Pc, NB, K, bs, bs]
+    dim: int = field(metadata=dict(static=True), default=0)
+    bs: int = field(metadata=dict(static=True), default=0)
+    grid: ProcessGrid = field(metadata=dict(static=True), default=None)
+
+    # -- geometry --------------------------------------------------------
+    @property
+    def nb(self) -> int:                  # logical block rows (= block cols)
+        return self.col_ids.shape[1]
+
+    @property
+    def k(self) -> int:
+        return self.col_ids.shape[2]
+
+    @property
+    def panels(self) -> int:
+        return self.col_ids.shape[0]
+
+    @property
+    def panel_nb(self) -> int:
+        return self.nb // self.panels
+
+    @property
+    def logical_dim(self) -> int:
+        return self.nb * self.bs
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def panel_offsets(self) -> np.ndarray:
+        return np.arange(self.panels) * self.panel_nb
+
+    # -- convenience -----------------------------------------------------
+    def with_data(self, col_ids, blocks) -> "PSMatrix":
+        return replace(self, col_ids=col_ids, blocks=blocks)
+
+    def astype(self, dtype) -> "PSMatrix":
+        return self.with_data(self.col_ids, self.blocks.astype(dtype))
+
+    def conjugate(self) -> "PSMatrix":
+        return self.with_data(self.col_ids, jnp.conj(self.blocks))
+
+    @property
+    def nnz(self) -> int:
+        return int(jnp.sum(self.blocks != 0))
+
+
+# ----------------------------------------------------------------------------
+# geometry / construction
+# ----------------------------------------------------------------------------
+
+def geometry(dim: int, bs: int, grid: ProcessGrid):
+    """Logical block count and panel size for a dim x dim matrix."""
+    nb = _round_up(max(1, -(-dim // bs)), math.lcm(grid.rows, grid.cols))
+    return nb, nb // grid.cols
+
+
+def _shard(grid: ProcessGrid, col_ids, blocks):
+    sh = grid.matrix_sharding
+    return (jax.device_put(col_ids, sh), jax.device_put(blocks, sh))
+
+
+def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
+          grid: ProcessGrid | None = None) -> PSMatrix:
+    grid = grid or global_grid()
+    dtype = dtype or default_real_dtype()
+    nb, pnb = geometry(dim, bs, grid)
+    k = min(k or pnb, pnb)
+    col_ids = np.full((grid.cols, nb, k), EMPTY, np.int32)
+    blocks = np.zeros((grid.cols, nb, k, bs, bs), dtype)
+    col_ids, blocks = _shard(grid, col_ids, blocks)
+    return PSMatrix(col_ids, blocks, dim, bs, grid)
+
+
+def identity(dim: int, *, bs: int, k: int | None = None, dtype=None,
+             grid: ProcessGrid | None = None, scale: float = 1.0) -> PSMatrix:
+    """FillMatrixIdentity (reference PSMatrixModule.F90:864-979): ones on the
+    actual (unpadded) diagonal."""
+    m = empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
+    i = np.arange(dim)
+    return fill_from_triplets(m, i, i, np.full(dim, scale, m.dtype))
+
+
+def fill_from_triplets(m: PSMatrix, rows, cols, vals) -> PSMatrix:
+    """Build the block-ELL panels from global (i, j, v) triplets (host side).
+
+    Replaces NTPoly's FillMatrixFromTripletList alltoallv redistribution
+    (reference Source/Fortran/distributed_includes/FillMatrixFromTripletList.f90)
+    with a host-side construction + device_put under the mesh sharding.
+    Duplicate coordinates are summed.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    if np.any(rows >= m.dim) or np.any(cols >= m.dim):
+        raise ValueError("triplet coordinates beyond matrix dimension")
+    bs, nb, pnb = m.bs, m.nb, m.panel_nb
+    bi, bj = rows // bs, cols // bs
+    bid = bi * nb + bj
+    ub, inv = np.unique(bid, return_inverse=True)
+    nub = len(ub)
+    blocks = np.zeros((nub, bs, bs), m.dtype)
+    np.add.at(blocks, (inv, rows % bs, cols % bs), vals.astype(m.dtype))
+    ubi, ubj = ub // nb, ub % nb
+    p = ubj // pnb
+    order = np.lexsort((ubj, ubi, p))
+    sp, sr, sc = p[order], ubi[order], ubj[order]
+    sb = blocks[order]
+    grp = sp * nb + sr
+    first = np.ones(nub, bool)
+    first[1:] = grp[1:] != grp[:-1]
+    start = np.maximum.accumulate(np.where(first, np.arange(nub), 0))
+    slot = np.arange(nub) - start
+    k_needed = int(slot.max()) + 1 if nub else 1
+    k = max(m.k, k_needed)
+    col_ids = np.full((m.panels, nb, k), EMPTY, np.int32)
+    out_blocks = np.zeros((m.panels, nb, k, bs, bs), m.dtype)
+    col_ids[sp, sr, slot] = sc
+    out_blocks[sp, sr, slot] = sb
+    col_ids, out_blocks = _shard(m.grid, col_ids, out_blocks)
+    return m.with_data(col_ids, out_blocks)
+
+
+def from_dense(dense: np.ndarray, *, bs: int, k: int | None = None,
+               grid: ProcessGrid | None = None, dtype=None,
+               threshold: float = 0.0) -> PSMatrix:
+    """Host-side dense -> PSMatrix (test/IO utility)."""
+    dense = np.asarray(dense)
+    dim = dense.shape[0]
+    i, j = np.nonzero(np.abs(dense) > threshold)
+    m = empty(dim, bs=bs, k=k, dtype=dtype or dense.dtype, grid=grid)
+    return fill_from_triplets(m, i, j, dense[i, j])
+
+
+def to_dense(m: PSMatrix, actual: bool = True) -> jax.Array:
+    """PSMatrix -> dense (gathered; test/IO utility)."""
+    parts = [bell.to_dense(m.col_ids[p], m.blocks[p], nbc=m.panel_nb,
+                           col_offset=p * m.panel_nb)
+             for p in range(m.panels)]
+    d = jnp.concatenate(parts, axis=-1)
+    return d[:m.dim, :m.dim] if actual else d
+
+
+def to_triplets(m: PSMatrix):
+    """PSMatrix -> (rows, cols, vals) numpy triplets of stored nonzeros."""
+    cid = np.asarray(m.col_ids)
+    blk = np.asarray(m.blocks)
+    P, NB, K, bs, _ = blk.shape
+    pp, rr, kk, ii, jj = np.nonzero(blk != 0)
+    bj = cid[pp, rr, kk]
+    rows = rr * bs + ii
+    cols = bj * bs + jj
+    vals = blk[pp, rr, kk, ii, jj]
+    keep = (rows < m.dim) & (cols < m.dim)
+    return rows[keep], cols[keep], vals[keep]
+
+
+def resize(m: PSMatrix, new_dim: int) -> PSMatrix:
+    """ResizeMatrix (reference PSMatrixModule.F90): crop or zero-pad."""
+    r, c, v = to_triplets(m)
+    keep = (r < new_dim) & (c < new_dim)
+    out = empty(new_dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=m.grid)
+    return fill_from_triplets(out, r[keep], c[keep], v[keep])
+
+
+def get_slice(m: PSMatrix, start_row: int, end_row: int, start_col: int,
+              end_col: int) -> PSMatrix:
+    """GetMatrixSlice (reference PSMatrixModule.F90:1153-1227): extract a
+    sub-block as a new square PSMatrix (max of the two extents)."""
+    r, c, v = to_triplets(m)
+    keep = ((r >= start_row) & (r < end_row)
+            & (c >= start_col) & (c < end_col))
+    new_dim = max(end_row - start_row, end_col - start_col)
+    out = empty(new_dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=m.grid)
+    return fill_from_triplets(out, r[keep] - start_row, c[keep] - start_col,
+                              v[keep])

@@ -1,0 +1,365 @@
+"""Density matrix solvers: purification methods.
+
+TPU-native re-implementations of reference
+Source/Fortran/DensityMatrixSolversModule.F90 (1,233 LoC): PM (:37-281),
+TRS2 (:285-481), TRS4 (:485-718), HPCP (:720-952), ScaleAndFold (:953-1119),
+DenseDensity (:1120-1163), EnergyDensityMatrix (:1165-1189) and McWeenyStep
+(:1190-1233).  Each solver is a thin loop over the distributed SpGEMM /
+AXPY / trace / dot primitives; the sigma-decision history is replayed on
+scalars to recover the chemical potential by bisection, exactly as the
+reference does.
+
+All take the Hamiltonian H, the inverse square root ISQ of the overlap, and
+the target trace (electron count); they return (K, energy, chemical
+potential) where applicable.
+"""
+from __future__ import annotations
+
+from ..parallel import algebra as alg
+from .common import (resolve, solver_log, iteration_log, finish_iterations,
+                     orthogonalize, deorthogonalize, maybe_permute,
+                     maybe_unpermute, identity_like, real_scalar)
+from .parameters import SolverParameters
+
+
+def _bisect_chemical_potential(replay, total_iterations, params):
+    """Bisection of the accumulated scalar polynomial recursion on [0, 1]
+    (reference DensityMatrixSolversModule.F90:443-472)."""
+    a, b = 0.0, 1.0
+    midpoint = 0.0
+    for _ in range(params.max_iterations):
+        midpoint = (b - a) / 2.0 + a
+        zero_value = midpoint
+        for jj in range(total_iterations):
+            zero_value = replay(jj, zero_value)
+        if zero_value < 0.5:
+            a = midpoint
+        else:
+            b = midpoint
+        if abs(zero_value - 0.5) < params.converge_diff:
+            break
+    return midpoint
+
+
+def pm(h, isq, trace, params: SolverParameters | None = None):
+    """Palser-Manolopoulos canonical purification (palser1998canonical;
+    reference DensityMatrixSolversModule.F90:37-281)."""
+    params, monitor = resolve(params)
+    sigmas = []
+    with solver_log(params, "Density Matrix Solver", "PM",
+                    ("palser1998canonical",)):
+        n = h.dim
+        imat = identity_like(h)
+        wh, isqt = orthogonalize(h, isq, params)
+        wh, imat = maybe_permute(params, wh, imat)
+        e_min, e_max = alg.gershgorin_bounds(wh)
+        e_min, e_max = float(e_min), float(e_max)
+
+        lam = real_scalar(alg.trace(wh)) / n
+        alpha = min(trace / (e_max - lam), (n - trace) / (lam - e_min))
+        x = alg.increment(wh, imat, alpha=-alpha / n,
+                          beta=(alpha * lam + trace) / n)
+
+        energy = 0.0
+        total = 0
+        with iteration_log(params) as ilog:
+            for ii in range(params.max_iterations):
+                x2 = alg.matmul(x, x, threshold=params.threshold)
+                x3 = alg.matmul(x, x2, threshold=params.threshold)
+                tmp = alg.increment(x, x2, 1.0, -1.0,
+                                    threshold=params.threshold)  # X - X^2
+                tv = real_scalar(alg.trace(tmp))
+                tv2 = real_scalar(alg.dot(tmp, x))
+                sigma = 1.0 if tv <= 1e-300 else tv2 / tv
+                sigmas.append(sigma)
+                if sigma > 0.5:
+                    a1, a2, a3 = 0.0, 1.0 + 1.0 / sigma, -1.0 / sigma
+                else:
+                    a1 = (1.0 - 2.0 * sigma) / (1.0 - sigma)
+                    a2 = (1.0 + sigma) / (1.0 - sigma)
+                    a3 = -1.0 / (1.0 - sigma)
+                x = alg.increment(alg.increment(x, x2, a1, a2,
+                                                threshold=params.threshold),
+                                  x3, 1.0, a3, threshold=params.threshold)
+                energy_old = energy
+                energy = real_scalar(alg.dot(x, wh))
+                total = ii
+                monitor.append(energy - energy_old)
+                if monitor.check_converged(params.be_verbose):
+                    break
+                ilog.step(**{"Energy Value": energy})
+        finish_iterations(params, total + 1, x)
+
+        x = maybe_unpermute(params, x)
+        k = deorthogonalize(x, isq, isqt, params)
+
+        def replay(jj, zv):
+            s = sigmas[jj]
+            if s > 0.5:
+                return ((1.0 + s) * zv ** 2 - zv ** 3) / s
+            return ((1.0 - 2.0 * s) * zv + (1.0 + s) * zv ** 2 - zv ** 3) \
+                / (1.0 - s)
+
+        midpoint = _bisect_chemical_potential(replay, total, params)
+        mu = lam - (n * midpoint - trace) / alpha
+    return k, energy, mu
+
+
+def trs2(h, isq, trace, params: SolverParameters | None = None):
+    """2nd-order trace-resetting purification (niklasson2002expansion;
+    reference DensityMatrixSolversModule.F90:285-481)."""
+    params, monitor = resolve(params)
+    sigmas = []
+    with solver_log(params, "Density Matrix Solver", "TRS2",
+                    ("niklasson2002expansion",)):
+        imat = identity_like(h)
+        wh, isqt = orthogonalize(h, isq, params)
+        wh, imat = maybe_permute(params, wh, imat)
+        e_min, e_max = alg.gershgorin_bounds(wh)
+        e_min, e_max = float(e_min), float(e_max)
+
+        # X0 = (e_max I - WH) / (e_max - e_min)
+        x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
+                          beta=e_max / (e_max - e_min))
+
+        energy = 0.0
+        total = 0
+        with iteration_log(params) as ilog:
+            for ii in range(params.max_iterations):
+                tv = real_scalar(alg.trace(x))
+                sigma = -1.0 if trace - tv < 0.0 else 1.0
+                sigmas.append(sigma)
+                x2 = alg.matmul(x, x, threshold=params.threshold)
+                if sigma > 0.0:
+                    x = alg.increment(x, x2, 2.0, -1.0,
+                                      threshold=params.threshold)
+                else:
+                    x = x2
+                energy_old = energy
+                energy = real_scalar(alg.dot(x, wh))
+                total = ii
+                monitor.append(energy - energy_old)
+                if monitor.check_converged(params.be_verbose):
+                    break
+                ilog.step(**{"Energy Value": energy})
+        finish_iterations(params, total + 1, x)
+
+        x = maybe_unpermute(params, x)
+        k = deorthogonalize(x, isq, isqt, params)
+
+        def replay(jj, zv):
+            return zv * zv if sigmas[jj] < 0.0 else 2.0 * zv - zv * zv
+
+        midpoint = _bisect_chemical_potential(replay, total, params)
+        mu = e_max + (e_min - e_max) * midpoint
+    return k, energy, mu
+
+
+def trs4(h, isq, trace, params: SolverParameters | None = None):
+    """4th-order trace-resetting purification (niklasson2002expansion;
+    reference DensityMatrixSolversModule.F90:485-718)."""
+    params, monitor = resolve(params)
+    sigma_min, sigma_max = 0.0, 6.0
+    sigmas = []
+    with solver_log(params, "Density Matrix Solver", "TRS4",
+                    ("niklasson2002expansion",)):
+        imat = identity_like(h)
+        wh, isqt = orthogonalize(h, isq, params)
+        wh, imat = maybe_permute(params, wh, imat)
+        e_min, e_max = alg.gershgorin_bounds(wh)
+        e_min, e_max = float(e_min), float(e_max)
+
+        x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
+                          beta=e_max / (e_max - e_min))
+
+        energy = 0.0
+        total = 0
+        with iteration_log(params) as ilog:
+            for ii in range(params.max_iterations):
+                x2 = alg.matmul(x, x, threshold=params.threshold)
+                fx = alg.increment(x2, x, -3.0, 4.0,
+                                   threshold=params.threshold)  # 4X - 3X^2
+                gx = alg.increment(
+                    alg.increment(imat, x, 1.0, -2.0,
+                                  threshold=params.threshold),
+                    x2, 1.0, 1.0, threshold=params.threshold)  # I - 2X + X^2
+                trace_fx = real_scalar(alg.dot(x2, fx))
+                trace_gx = real_scalar(alg.dot(x2, gx))
+                if abs(trace_gx) < 1e-14:
+                    sigma = 0.5 * (sigma_max - sigma_min)
+                else:
+                    sigma = (trace - trace_fx) / trace_gx
+                sigmas.append(sigma)
+                if sigma > sigma_max:
+                    x = alg.increment(x, x2, 2.0, -1.0,
+                                      threshold=params.threshold)
+                elif sigma < sigma_min:
+                    x = x2
+                else:
+                    poly = alg.increment(fx, gx, 1.0, sigma,
+                                         threshold=params.threshold)
+                    x = alg.matmul(x2, poly, threshold=params.threshold)
+                energy_old = energy
+                energy = real_scalar(alg.dot(x, wh))
+                total = ii
+                monitor.append(energy - energy_old)
+                if monitor.check_converged(params.be_verbose):
+                    break
+                ilog.step(**{"Energy Value": energy})
+        finish_iterations(params, total + 1, x)
+
+        x = maybe_unpermute(params, x)
+        k = deorthogonalize(x, isq, isqt, params)
+
+        def replay(jj, zv):
+            s = sigmas[jj]
+            if s > sigma_max:
+                return 2.0 * zv - zv * zv
+            if s < sigma_min:
+                return zv * zv
+            tempfx = zv * zv * (4.0 * zv - 3.0 * zv * zv)
+            tempgx = zv * zv * (1.0 - zv) ** 2
+            return tempfx + s * tempgx
+
+        midpoint = _bisect_chemical_potential(replay, total, params)
+        mu = e_max + (e_min - e_max) * midpoint
+    return k, energy, mu
+
+
+def hpcp(h, isq, trace, params: SolverParameters | None = None):
+    """Hole-particle canonical purification (truflandier2016communication;
+    reference DensityMatrixSolversModule.F90:720-952)."""
+    params, monitor = resolve(params)
+    sigmas = []
+    with solver_log(params, "Density Matrix Solver", "HPCP",
+                    ("truflandier2016communication",)):
+        n = h.dim
+        imat = identity_like(h)
+        wh, isqt = orthogonalize(h, isq, params)
+        wh, imat = maybe_permute(params, wh, imat)
+        e_min, e_max = alg.gershgorin_bounds(wh)
+        e_min, e_max = float(e_min), float(e_max)
+
+        mu_bar = real_scalar(alg.trace(wh)) / n
+        sigma_bar = (n - trace) / n
+        sigma = 1.0 - sigma_bar
+        beta = sigma / (e_max - mu_bar)
+        beta_bar = sigma_bar / (mu_bar - e_min)
+        beta_1 = sigma
+        beta_2 = min(beta, beta_bar)
+
+        # D1 = beta_1 I + beta_2 (mu I - WH)
+        d1 = alg.increment(imat, alg.increment(imat, wh, mu_bar, -1.0),
+                           beta_1, beta_2)
+
+        energy = 0.0
+        total = 0
+        with iteration_log(params) as ilog:
+            for ii in range(params.max_iterations):
+                dh = alg.increment(imat, d1, 1.0, -1.0,
+                                   threshold=params.threshold)  # I - D1
+                ddh = alg.matmul(d1, dh, threshold=params.threshold)
+                tv = real_scalar(alg.trace(ddh))
+                d2dh = alg.matmul(d1, ddh, threshold=params.threshold)
+                s = real_scalar(alg.trace(d2dh)) / tv if tv != 0 else 0.0
+                sigmas.append(s)
+                d1 = alg.increment(
+                    alg.increment(d1, d2dh, 1.0, 2.0,
+                                  threshold=params.threshold),
+                    ddh, 1.0, -2.0 * s, threshold=params.threshold)
+                energy_old = energy
+                energy = real_scalar(alg.dot(d1, wh))
+                total = ii
+                monitor.append(energy - energy_old)
+                if monitor.check_converged(params.be_verbose):
+                    break
+                ilog.step(**{"Energy Value": energy})
+        finish_iterations(params, total + 1, d1)
+
+        d1 = maybe_unpermute(params, d1)
+        k = deorthogonalize(d1, isq, isqt, params)
+
+        def replay(jj, zv):
+            s = sigmas[jj]
+            return zv + 2.0 * (zv ** 2 * (1.0 - zv)
+                               - s * zv * (1.0 - zv))
+
+        midpoint = _bisect_chemical_potential(replay, total, params)
+        mu = mu_bar + (beta_1 - midpoint) / beta_2
+    return k, energy, mu
+
+
+def scale_and_fold(h, isq, trace, homo, lumo,
+                   params: SolverParameters | None = None):
+    """Accelerated scale-and-fold purification (rubensson2011nonmonotonic;
+    reference DensityMatrixSolversModule.F90:953-1119).  Requires
+    (conservative) homo/lumo estimates."""
+    params, monitor = resolve(params)
+    with solver_log(params, "Density Matrix Solver", "Scale and Fold",
+                    ("rubensson2011nonmonotonic",)):
+        imat = identity_like(h)
+        wh, isqt = orthogonalize(h, isq, params)
+        wh, imat = maybe_permute(params, wh, imat)
+        e_min, e_max = alg.gershgorin_bounds(wh)
+        e_min, e_max = float(e_min), float(e_max)
+
+        x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
+                          beta=e_max / (e_max - e_min))
+        beta = (e_max - lumo) / (e_max - e_min)
+        beta_bar = (e_max - homo) / (e_max - e_min)
+
+        energy = 0.0
+        total = 0
+        with iteration_log(params) as ilog:
+            for ii in range(params.max_iterations):
+                tv = real_scalar(alg.trace(x))
+                if tv > trace:
+                    a = 2.0 / (2.0 - beta)
+                    x = alg.increment(x, imat, a, 1.0 - a)
+                    x = alg.matmul(x, x, threshold=params.threshold)
+                    beta = (a * beta + 1 - a) ** 2
+                    beta_bar = (a * beta_bar + 1 - a) ** 2
+                else:
+                    a = 2.0 / (1.0 + beta_bar)
+                    x2 = alg.matmul(x, x, threshold=params.threshold)
+                    x = alg.increment(x, x2, 2 * a, -a * a,
+                                      threshold=params.threshold)
+                    beta = 2.0 * a * beta - a * a * beta * beta
+                    beta_bar = 2.0 * a * beta_bar - a * a * beta_bar ** 2
+                energy_old = energy
+                energy = real_scalar(alg.dot(x, wh))
+                total = ii
+                monitor.append(energy - energy_old)
+                if monitor.check_converged(params.be_verbose):
+                    break
+                ilog.step(**{"Energy Value": energy})
+        finish_iterations(params, total + 1, x)
+
+        x = maybe_unpermute(params, x)
+        k = deorthogonalize(x, isq, isqt, params)
+    return k, energy
+
+
+def dense_density(h, isq, trace, params: SolverParameters | None = None):
+    """Dense (eigendecomposition) density solver (reference
+    DensityMatrixSolversModule.F90:1120-1163 -> ComputeDenseFOE)."""
+    from .fermi import compute_dense_foe
+    return compute_dense_foe(h, isq, trace, params=params)
+
+
+def energy_density_matrix(h, d, threshold=0.0):
+    """EDM = D H D (reference DensityMatrixSolversModule.F90:1165-1189)."""
+    return alg.matmul(d, alg.matmul(h, d, threshold=threshold),
+                      threshold=threshold)
+
+
+def mcweeny_step(d, s=None, threshold=0.0):
+    """D' = 3 DSD - 2 DSDSD (reference
+    DensityMatrixSolversModule.F90:1190-1233); S defaults to identity."""
+    if s is not None:
+        ds = alg.matmul(d, s, threshold=threshold)
+    else:
+        ds = d
+    dsd = alg.matmul(ds, d, threshold=threshold)
+    dsdsd = alg.matmul(ds, dsd, threshold=threshold)
+    return alg.increment(dsd, dsdsd, 3.0, -2.0, threshold=threshold)

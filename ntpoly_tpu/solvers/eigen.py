@@ -1,0 +1,105 @@
+"""Eigendecomposition and dense matrix functions
+(reference Source/Fortran/EigenSolversModule.F90, EigenExaModule.F90).
+
+The reference's only distributed eigensolver is "gather the whole matrix on
+every rank, run LAPACK, redistribute" (EigenSerial,
+reference eigenexa_includes/EigenSerial.f90:1-42) with an optional EigenExa
+bridge.  The TPU-native equivalent gathers to dense and runs
+``jnp.linalg.eigh`` — a blocked MXU factorization via XLA — then re-sparsifies
+with the threshold.  ``dense_matrix_function`` (eigendecompose, map
+eigenvalues through f, reassemble) is the universal dense fallback used by
+every Dense* solver (reference EigenSolversModule.F90:88-150).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import algebra as alg
+from ..parallel import pmatrix as PM
+from .common import resolve, solver_log, real_scalar
+from .parameters import SolverParameters
+
+
+def _to_ps(dense, like, threshold=0.0):
+    return PM.from_dense(np.asarray(dense), bs=like.bs, k=like.k,
+                         grid=like.grid, dtype=like.dtype,
+                         threshold=threshold)
+
+
+def eigh(mat):
+    """Dense Hermitian eigendecomposition of a PSMatrix -> (w, v) arrays."""
+    d = PM.to_dense(mat)
+    return jnp.linalg.eigh(d)
+
+
+def eigen_decomposition(mat, nvals: int | None = None,
+                        params: SolverParameters | None = None,
+                        compute_vectors: bool = True):
+    """reference EigenSolversModule.F90:36-84.  Returns (vals, vecs) as
+    PSMatrices; vals is diagonal.  With nvals, only the lowest nvals pairs
+    are kept (columns beyond nvals zeroed)."""
+    params, _ = resolve(params)
+    with solver_log(params, "Eigen Solver", "LAPACK"
+                    if mat.grid.n_devices == 1 else "Dense Gathered"):
+        w, v = eigh(mat)
+        n = mat.dim
+        if nvals is not None and nvals < n:
+            w = jnp.where(jnp.arange(w.shape[0]) < nvals, w, 0.0)
+            v = jnp.where(jnp.arange(v.shape[1])[None, :] < nvals, v, 0.0)
+        vals = _to_ps(jnp.diag(w[:n]), like=mat)
+        if not compute_vectors:
+            return vals, None
+        vecs = _to_ps(v, like=mat, threshold=params.threshold)
+        return vals, vecs
+
+
+def eigen_values(mat, nvals: int | None = None,
+                 params: SolverParameters | None = None):
+    vals, _ = eigen_decomposition(mat, nvals=nvals, params=params,
+                                  compute_vectors=False)
+    return vals
+
+
+def dense_matrix_function(mat, func, params: SolverParameters | None = None):
+    """V f(w) V^H (reference EigenSolversModule.F90:88-150).  ``func`` maps
+    an eigenvalue array to transformed values (vectorized numpy/jnp)."""
+    params, _ = resolve(params)
+    w, v = eigh(mat)
+    fw = func(w)
+    out = (v * fw[None, :]) @ jnp.conj(v).T
+    if params.threshold > 0:
+        out = jnp.where(jnp.abs(out) > params.threshold, out, 0)
+    return _to_ps(out, like=mat)
+
+
+def estimate_gap(h, k, chemical_potential,
+                 params: SolverParameters | None = None):
+    """HOMO-LUMO gap estimate from the density matrix and mu
+    (reference EigenSolversModule.F90:153-228)."""
+    from .eigenbounds import power_bounds, gershgorin_bounds
+    params, _ = resolve(params)
+    with solver_log(params, "Gap Estimator"):
+        kh = alg.matmul(k, h, threshold=params.threshold)
+        e_min = power_bounds(kh, params)
+        if e_min > 0:
+            e_min, _ = gershgorin_bounds(h)
+        from .common import identity_like
+        shift_h = alg.increment(identity_like(h), h, -e_min, 1.0)
+        kh = alg.matmul(k, shift_h, threshold=params.threshold)
+        e_max = power_bounds(kh, params)
+        e_max = e_max + e_min
+        return 2.0 * (chemical_potential - e_max)
+
+
+def singular_value_decomposition(mat, params: SolverParameters | None = None):
+    """SVD via polar decomposition + eigendecomposition of H
+    (reference SingularValueSolversModule.F90:18-70).
+    Returns (left_vectors, right_vectors, singular_values)."""
+    from .sign import polar_decomposition
+    params, _ = resolve(params)
+    with solver_log(params, "SVD Solver", "Polar + Eigen"):
+        u, h = polar_decomposition(mat, params)
+        singular_values, right = eigen_decomposition(h, params=params)
+        left = alg.matmul(u, right, threshold=params.threshold)
+        return left, right, singular_values

@@ -1,0 +1,66 @@
+"""Matrix inverse solvers (reference Source/Fortran/InverseSolversModule.F90).
+
+Hotelling/Newton iteration X <- 2X - X A X with Ozaki sigma scaling for the
+initial guess (ozaki2001efficient); convergence on ||I - A X||.
+"""
+from __future__ import annotations
+
+from ..parallel import algebra as alg
+from .common import (resolve, solver_log, iteration_log, finish_iterations,
+                     maybe_permute, maybe_unpermute, identity_like,
+                     real_scalar)
+from ..utils.logging import logger
+from .parameters import SolverParameters
+
+
+def _hotelling(mat, params, monitor):
+    imat = identity_like(mat)
+    balanced, imat = maybe_permute(params, mat, imat)
+    sigma = real_scalar(alg.matrix_sigma(balanced))
+    x = alg.scale(balanced, sigma)
+    total = 0
+    with iteration_log(params) as ilog:
+        for ii in range(params.max_iterations):
+            t1 = alg.matmul(x, balanced, threshold=params.threshold)
+            norm_value = real_scalar(
+                alg.norm(alg.increment(imat, t1, 1.0, -1.0)))
+            # X <- 2X - T1 X
+            x = alg.increment(alg.scale(x, 2.0),
+                              alg.matmul(t1, x, threshold=params.threshold),
+                              1.0, -1.0, threshold=params.threshold)
+            total = ii
+            monitor.append(norm_value)
+            if monitor.check_converged(params.be_verbose):
+                break
+            if params.be_verbose:
+                logger.write_list_element(key="Convergence",
+                                          value=norm_value)
+    finish_iterations(params, total, x)
+    return maybe_unpermute(params, x)
+
+
+def invert(mat, params: SolverParameters | None = None):
+    """reference InverseSolversModule.F90:29-151."""
+    params, monitor = resolve(params)
+    with solver_log(params, "Inverse Solver",
+                    citations=("palser1998canonical",
+                               "ozaki2001efficient")):
+        return _hotelling(mat, params, monitor)
+
+
+def pseudo_inverse(mat, params: SolverParameters | None = None):
+    """Moore-Penrose pseudo-inverse by the same Hotelling iteration, which
+    converges on the row/column space (reference
+    InverseSolversModule.F90:187+)."""
+    params, monitor = resolve(params)
+    with solver_log(params, "Inverse Solver",
+                    citations=("palser1998canonical",)):
+        return _hotelling(mat, params, monitor)
+
+
+def dense_invert(mat, params: SolverParameters | None = None):
+    """reference InverseSolversModule.F90:152-185."""
+    from .eigen import dense_matrix_function
+    params, _ = resolve(params)
+    with solver_log(params, "Inverse Solver"):
+        return dense_matrix_function(mat, lambda w: 1.0 / w, params)

@@ -1,0 +1,114 @@
+"""Solver parameters and the convergence monitor.
+
+Faithful ports of the control logic that gates every iterative solver:
+reference Source/Fortran/SolverParametersModule.F90:14-113 and
+ConvergenceMonitorModule.F90:122-191 (the windowed automatic-detection rules
+must match exactly for iteration-count parity with the reference).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+from ..utils.logging import logger, sub_log
+
+CONVERGENCE_DIFF_CONST = 1e-6
+MAX_ITERATIONS_CONST = 1000
+
+
+class Monitor:
+    """Moving-window convergence monitor (reference
+    ConvergenceMonitorModule.F90).
+
+    Basic mode: converged when |last| <= tight_cutoff.  Automatic mode adds:
+    enough samples seen, short/long window averages within 10x of each other,
+    last value within 10x of the long average, last value non-negative and
+    not still shrinking, and long average <= loose_cutoff.
+    """
+
+    def __init__(self, short_len: int = 3, long_len: int = 6,
+                 loose_cutoff: float = 1e-2, tight_cutoff: float = 1e-8,
+                 automatic: bool = True):
+        self.win_short = [0.0] * short_len
+        self.win_long = [0.0] * long_len
+        self.nval = 0
+        self.loose_cutoff = loose_cutoff
+        self.tight_cutoff = tight_cutoff
+        self.automatic = automatic
+
+    def append(self, value: float):
+        self.win_short = self.win_short[1:] + [float(value)]
+        self.win_long = self.win_long[1:] + [float(value)]
+        self.nval += 1
+
+    def check_converged(self, be_verbose: bool = False) -> bool:
+        last = self.win_short[-1]
+        last2 = self.win_short[-2]
+        if be_verbose:
+            logger.write_list_element(key="Convergence", value=last)
+        if abs(last) <= self.tight_cutoff:
+            if be_verbose:
+                with sub_log():
+                    logger.write_element("Trigger", "Tight Criteria")
+            return True
+        if not self.automatic:
+            return False
+
+        conv = True
+        if self.nval < len(self.win_long):
+            conv = False
+        avg_short = sum(self.win_short) / len(self.win_short)
+        avg_long = sum(self.win_long) / len(self.win_long)
+        if be_verbose:
+            with sub_log():
+                logger.write_element("Avg Short", avg_short)
+                logger.write_element("Avg Long", avg_long)
+        if not (10 * avg_short > avg_long and avg_short / 10 < avg_long):
+            conv = False
+        if not (10 * last > avg_long and last / 10 < avg_long):
+            conv = False
+        if last < 0:
+            conv = False
+        if abs(last) < abs(last2):
+            conv = False
+        if avg_long > self.loose_cutoff:
+            conv = False
+        if conv and be_verbose:
+            with sub_log():
+                logger.write_element("Trigger", "Automatic")
+        return conv
+
+
+@dataclass
+class SolverParameters:
+    """reference SolverParametersModule.F90:14-113 plus TPU-specific knobs."""
+    converge_diff: float = CONVERGENCE_DIFF_CONST
+    max_iterations: int = MAX_ITERATIONS_CONST
+    threshold: float = 0.0
+    be_verbose: bool = False
+    do_load_balancing: bool = False
+    balance_permutation: Optional[object] = None   # Permutation
+    step_thresh: float = 1e-2
+    monitor_convergence: bool = True
+    # TPU-native extensions (absent in the reference): block capacity policy.
+    k_out: Optional[int] = None          # slots per block-row for results
+    row_chunk: Optional[int] = None      # SpGEMM accumulator chunking
+
+    def copy(self) -> "SolverParameters":
+        return replace(self)
+
+    def monitor(self) -> Monitor:
+        return Monitor(automatic=self.monitor_convergence,
+                       tight_cutoff=self.converge_diff)
+
+    def print(self):
+        with sub_log("Parameters"):
+            logger.write_element("be_verbose", self.be_verbose)
+            logger.write_element("converge_diff", self.converge_diff)
+            logger.write_element("threshold", self.threshold)
+            logger.write_element("max_iterations", self.max_iterations)
+            logger.write_element("do_load_balancing",
+                                 self.do_load_balancing)
+            logger.write_element("step_thresh", self.step_thresh)
+            logger.write_element("monitor_convergence",
+                                 self.monitor_convergence)

@@ -1,0 +1,60 @@
+"""Binary checkpoint format
+(reference PSMatrixModule.F90:572-789 — "Faster than text, so this is good
+for check pointing").
+
+Layout mirrors the reference: a fixed header {magic, complex flag, rows,
+cols, total nnz} followed by packed triplet records.  Written with numpy
+structured arrays; memory-mapped reads make reload O(nnz) with no parsing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..parallel import pmatrix as PM
+
+MAGIC = 0x4E545058        # "NTPX"
+
+_HEADER_DTYPE = np.dtype([
+    ("magic", "<u4"), ("is_complex", "<u4"),
+    ("rows", "<i8"), ("cols", "<i8"), ("nnz", "<i8")])
+
+
+def _triplet_dtype(is_complex: bool):
+    vt = "<c16" if is_complex else "<f8"
+    return np.dtype([("row", "<i4"), ("col", "<i4"), ("val", vt)])
+
+
+def write(mat: PM.PSMatrix, file_name: str):
+    r, c, v = PM.to_triplets(mat)
+    is_complex = bool(np.iscomplexobj(v))
+    header = np.zeros(1, _HEADER_DTYPE)
+    header["magic"], header["is_complex"] = MAGIC, is_complex
+    header["rows"] = header["cols"] = mat.dim
+    header["nnz"] = len(v)
+    recs = np.empty(len(v), _triplet_dtype(is_complex))
+    recs["row"], recs["col"], recs["val"] = r, c, v
+    with open(file_name, "wb") as f:
+        header.tofile(f)
+        recs.tofile(f)
+
+
+def read_triplets(file_name: str):
+    with open(file_name, "rb") as f:
+        header = np.fromfile(f, _HEADER_DTYPE, count=1)[0]
+        if header["magic"] != MAGIC:
+            raise ValueError(f"{file_name}: not an ntpoly_tpu binary file")
+        recs = np.fromfile(f, _triplet_dtype(bool(header["is_complex"])),
+                           count=int(header["nnz"]))
+    return (recs["row"].astype(np.int64), recs["col"].astype(np.int64),
+            recs["val"], int(header["rows"]))
+
+
+def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
+         dtype=None) -> PM.PSMatrix:
+    i, j, v, dim = read_triplets(file_name)
+    if dtype is None:
+        from ..config import default_complex_dtype, default_real_dtype
+        dtype = default_complex_dtype() if np.iscomplexobj(v) \
+            else default_real_dtype()
+    m = PM.empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
+    return PM.fill_from_triplets(m, i, j, v)

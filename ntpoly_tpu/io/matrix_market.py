@@ -1,0 +1,104 @@
+"""Matrix Market IO (reference Source/Fortran/MatrixMarketModule.F90 +
+PSMatrixModule.F90:351-570).
+
+The reference does MPI-IO with per-rank byte ranges; under single-controller
+JAX the host parses the file (numpy vectorized; a C accelerator can slot in
+here) and shards the result onto the mesh via fill_from_triplets.
+Symmetric / hermitian / skew-symmetric headers are expanded exactly as the
+reference's SymmetrizeTripletList does (TripletListModule.F90:509-590).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..parallel import pmatrix as PM
+
+
+def read_header(file_name: str):
+    with open(file_name, "rb") as f:
+        header = f.readline().decode()
+    parts = header.strip().split()
+    if len(parts) != 5 or parts[0] != "%%MatrixMarket":
+        raise ValueError(f"bad MatrixMarket header: {header!r}")
+    _, obj, fmt, field, symmetry = (p.lower() for p in parts)
+    return obj, fmt, field, symmetry
+
+
+def read_triplets(file_name: str):
+    """Parse an MM coordinate file -> (rows, cols, vals, dim) 0-based,
+    symmetry-expanded."""
+    obj, fmt, field, symmetry = read_header(file_name)
+    if fmt != "coordinate":
+        raise ValueError("only coordinate MatrixMarket files are supported")
+    with open(file_name, "rb") as f:
+        lines = []
+        for line in f:
+            s = line.strip()
+            if s and not s.startswith(b"%"):
+                lines.append(s)
+    dims = lines[0].split()
+    n_rows, n_cols = int(dims[0]), int(dims[1])
+    body = b"\n".join(lines[1:])
+    if field == "pattern":
+        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 2)
+        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
+        v = np.ones(len(i))
+    elif field == "complex":
+        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 4)
+        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
+        v = arr[:, 2] + 1j * arr[:, 3]
+    else:
+        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 3)
+        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
+        v = arr[:, 2]
+    if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
+        off = i != j
+        io_, jo, vo = i[off], j[off], v[off]
+        if symmetry == "hermitian":
+            vo = np.conj(vo)
+        elif symmetry == "skew-symmetric":
+            vo = -vo
+        i = np.concatenate([i, jo])
+        j = np.concatenate([j, io_])
+        v = np.concatenate([v, vo])
+    return i, j, v, max(n_rows, n_cols)
+
+
+def read_triplets_shape(file_name: str):
+    """Like :func:`read_triplets` but returns the (rows, cols) shape —
+    local matrices may be rectangular."""
+    i, j, v, _ = read_triplets(file_name)
+    with open(file_name, "rb") as f:
+        for line in f:
+            s = line.strip()
+            if s and not s.startswith(b"%"):
+                parts = s.split()
+                return i, j, v, (int(parts[0]), int(parts[1]))
+    raise ValueError(f"{file_name}: no size line")
+
+
+def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
+         dtype=None) -> PM.PSMatrix:
+    i, j, v, dim = read_triplets(file_name)
+    if dtype is None:
+        from ..config import default_complex_dtype, default_real_dtype
+        dtype = default_complex_dtype() if np.iscomplexobj(v) \
+            else default_real_dtype()
+    m = PM.empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
+    return PM.fill_from_triplets(m, i, j, v)
+
+
+def write(mat: PM.PSMatrix, file_name: str):
+    """Write coordinate-general MM (reference WriteMatrixToMatrixMarket)."""
+    r, c, v = PM.to_triplets(mat)
+    is_complex = np.iscomplexobj(v)
+    field = "complex" if is_complex else "real"
+    with open(file_name, "w") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+        f.write(f"{mat.dim} {mat.dim} {len(v)}\n")
+        if is_complex:
+            for i, j, val in zip(r + 1, c + 1, v):
+                f.write(f"{i} {j} {val.real:.16g} {val.imag:.16g}\n")
+        else:
+            for i, j, val in zip(r + 1, c + 1, v):
+                f.write(f"{i} {j} {val:.16g}\n")

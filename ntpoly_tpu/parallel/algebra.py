@@ -122,6 +122,7 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
 # cheap (slot-wise / reduction) ops — rely on XLA sharding propagation
 # ----------------------------------------------------------------------------
 
+@jax.jit
 def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
               k_out: int | None = None) -> PSMatrix:
     """alpha*A + beta*B (AXPY; reference IncrementMatrix)."""
@@ -133,24 +134,29 @@ def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
         jnp.result_type(a.dtype, b.dtype))
 
 
+@jax.jit
 def scale(a: PSMatrix, c) -> PSMatrix:
     return a.with_data(a.col_ids, a.blocks * jnp.asarray(c, a.dtype))
 
 
+@jax.jit
 def trace(a: PSMatrix):
     """MatrixTrace (reference distributed_algebra_includes/MatrixTrace.f90)."""
     return bell.trace(a.col_ids, a.blocks)
 
 
+@jax.jit
 def dot(a: PSMatrix, b: PSMatrix):
     """DotMatrix = sum_ij conj(A_ij) B_ij (reference DotMatrix.f90)."""
     return bell.dot(a.col_ids, a.blocks, b.col_ids, b.blocks)
 
 
+@jax.jit
 def grand_sum(a: PSMatrix):
     return bell.grand_sum(a.blocks)
 
 
+@jax.jit
 def pairwise_multiply(a: PSMatrix, b: PSMatrix) -> PSMatrix:
     """Hadamard product (reference PairwiseMultiplyMatrix)."""
     prod = bell.align_mul(a.col_ids, a.blocks, b.col_ids, b.blocks)
@@ -158,6 +164,7 @@ def pairwise_multiply(a: PSMatrix, b: PSMatrix) -> PSMatrix:
     return PSMatrix(cc, cb, a.dim, a.bs, a.grid)
 
 
+@jax.jit
 def filter_small(a: PSMatrix, threshold) -> PSMatrix:
     """FilterMatrix (reference PSMatrixModule.F90:1318-1359)."""
     cc, cb = bell.filter_small(a.col_ids, a.blocks, threshold)
@@ -168,6 +175,7 @@ def conjugate(a: PSMatrix) -> PSMatrix:
     return a.conjugate()
 
 
+@functools.partial(jax.jit, static_argnames=("k_out",))
 def transpose(a: PSMatrix, k_out: int | None = None) -> PSMatrix:
     """TransposeMatrix (reference distributed_includes/TransposeMatrix.f90):
     block-COO flip + rebuild (XLA emits the all-to-all redistribution)."""
@@ -188,6 +196,7 @@ def transpose(a: PSMatrix, k_out: int | None = None) -> PSMatrix:
                        jax.lax.with_sharding_constraint(ob, sh))
 
 
+@functools.partial(jax.jit, static_argnames=("side",))
 def diagonal_scale(a: PSMatrix, dvals, side: str = "right") -> PSMatrix:
     """Scale columns ('right': A diag(d)) or rows ('left': diag(d) A)
     (reference MatrixDiagonalScale, PSMatrixAlgebraModule.F90)."""
@@ -202,6 +211,7 @@ def diagonal_scale(a: PSMatrix, dvals, side: str = "right") -> PSMatrix:
     return a.with_data(a.col_ids, b)
 
 
+@jax.jit
 def column_sums(a: PSMatrix) -> jax.Array:
     """Per-column sums of |v| -> [logical_dim] (column 1-norms)."""
     off = jnp.asarray(a.panel_offsets(), jnp.int32)[:, None, None]
@@ -211,6 +221,7 @@ def column_sums(a: PSMatrix) -> jax.Array:
     return cs.reshape(a.logical_dim)
 
 
+@jax.jit
 def norm(a: PSMatrix):
     """MatrixNorm: max column 1-norm (reference MatrixNorm.f90)."""
     return jnp.max(column_sums(a))
@@ -234,6 +245,7 @@ def similarity_transform(a: PSMatrix, p: PSMatrix, pinv: PSMatrix,
     return matmul(p, tmp, threshold=threshold, k_out=k_out)
 
 
+@jax.jit
 def diagonal_values(a: PSMatrix) -> jax.Array:
     """The matrix diagonal -> [logical_dim]."""
     dblocks = bell.trace_blocks(a.col_ids, a.blocks)       # [Pc, NB, bs, bs]
@@ -241,19 +253,20 @@ def diagonal_values(a: PSMatrix) -> jax.Array:
     return jnp.diagonal(dblocks, axis1=-2, axis2=-1).reshape(-1)
 
 
+@jax.jit
 def gershgorin_bounds(a: PSMatrix):
     """Spectral bounds: min/max over columns of center +/- radius
-    (reference EigenBoundsModule.F90:29-59).  Padded columns are excluded."""
+    (reference EigenBoundsModule.F90:29-59).  Padded columns contribute a
+    [0, 0] interval, matching the reference's per-logical-column loop —
+    and load-balanced matrices may hold data in the padded region."""
     cs = column_sums(a)
     d = diagonal_values(a)
     dr = d.real if jnp.iscomplexobj(d) else d
     radius = cs - jnp.abs(d)
-    mask = jnp.arange(a.logical_dim) < a.dim
-    lo = jnp.min(jnp.where(mask, dr - radius, jnp.inf))
-    hi = jnp.max(jnp.where(mask, dr + radius, -jnp.inf))
-    return lo, hi
+    return jnp.min(dr - radius), jnp.max(dr + radius)
 
 
+@jax.jit
 def spmv(a: PSMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x for a replicated dense vector x[logical_dim]."""
     xb = x.reshape(a.nb, a.bs)
@@ -264,6 +277,7 @@ def spmv(a: PSMatrix, x: jax.Array) -> jax.Array:
     return y.reshape(-1)
 
 
+@jax.jit
 def matrix_sigma(a: PSMatrix):
     """Ozaki sigma for Hotelling init: 1 / (max column sum)^2-ish scaling
     (reference MatrixSigma, PSMatrixAlgebraModule.F90:80-104)."""

@@ -134,7 +134,9 @@ def fill_from_triplets(m: PSMatrix, rows, cols, vals) -> PSMatrix:
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
-    if np.any(rows >= m.dim) or np.any(cols >= m.dim):
+    # Coordinates may address the padded (logical) region — the reference
+    # stores permutation matrices there (PSMatrixModule.F90:864-979).
+    if np.any(rows >= m.logical_dim) or np.any(cols >= m.logical_dim):
         raise ValueError("triplet coordinates beyond matrix dimension")
     bs, nb, pnb = m.bs, m.nb, m.panel_nb
     bi, bj = rows // bs, cols // bs

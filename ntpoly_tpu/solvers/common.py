@@ -91,8 +91,15 @@ def print_matrix_information(mat):
 
 
 def orthogonalize(h, isq, params):
-    """WH = ISQ @ H @ ISQ^T (reference solvers' working-Hamiltonian step)."""
-    isqt = alg.transpose(isq)
+    """WH = ISQ @ H @ ISQ^H (reference solvers' working-Hamiltonian step).
+
+    The reference uses a plain transpose (e.g.
+    DensityMatrixSolversModule.F90:355-357) but only ever pairs complex
+    Hamiltonians with *real* overlaps (UnitTests/test_chemistry.py:32); the
+    conjugate transpose is the Hermitian-correct generalization and is
+    identical for real ISQ.
+    """
+    isqt = alg.transpose(isq).conjugate()
     wh = alg.similarity_transform(h, isq, isqt, threshold=params.threshold)
     return wh, isqt
 

@@ -26,8 +26,11 @@ def power_bounds(mat, params: SolverParameters | None = None) -> float:
     params, monitor = resolve(params)
 
     with solver_log(params, "Power Bounds Solver"):
+        # Uniform guess across all logical columns with value 1/actual_dim
+        # (reference EigenBoundsModule.F90:102-112) — logical coverage
+        # matters when the matrix was load-balance permuted into padding.
         n = mat.logical_dim
-        x = jnp.where(jnp.arange(n) < mat.dim, 1.0 / mat.dim, 0.0)
+        x = jnp.full((n,), 1.0 / mat.dim)
         x = x.astype(mat.blocks.real.dtype if jnp.iscomplexobj(mat.blocks)
                      else mat.dtype)
         ritz = [0.0, 0.0, 0.0]

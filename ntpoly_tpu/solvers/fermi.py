@@ -33,7 +33,7 @@ def compute_dense_foe(h, isq, trace, inv_temp: float | None = None,
     do_smearing = inv_temp is not None
     with solver_log(params, "Density Matrix Solver",
                     "Dense FOE" if do_smearing else "Dense Step Function"):
-        isqt = alg.transpose(isq)
+        isqt = alg.transpose(isq).conjugate()
         wh = alg.matmul(alg.matmul(isq, h, threshold=params.threshold),
                         isqt, threshold=params.threshold)
         w, v = eigh(wh)

@@ -29,6 +29,15 @@ def compute_root(mat, root: int, params: SolverParameters | None = None):
             return _root_implementation(squared, 6, params)
         if root == 4:
             return square_root(square_root(mat, params), params)
+        if root & (root - 1) == 0:
+            # Power of two: repeated square roots are far better conditioned
+            # than the reference's general A * (A^(p-1))^(-1+1/p) path —
+            # important for ComputeLogarithm, which takes 2^k-th roots.
+            out = mat
+            while root > 1:
+                out = square_root(out, params)
+                root //= 2
+            return out
         return _root_implementation(mat, root, params)
 
 
@@ -57,6 +66,12 @@ def compute_inverse_root(mat, root: int,
             return invert(compute_root(mat, 3, params), params)
         if root == 4:
             return inverse_square_root(square_root(mat, params), params)
+        if root & (root - 1) == 0:
+            out = mat
+            while root > 2:
+                out = square_root(out, params)
+                root //= 2
+            return inverse_square_root(out, params)
         return _inverse_root_implementation(mat, root, params)
 
 

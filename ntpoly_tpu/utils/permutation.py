@@ -59,12 +59,13 @@ def permutation_matrices(perm: Permutation, like):
     (reference distributed_includes/FillMatrixPermutation.f90).
     """
     from ..parallel import pmatrix as PM
-    lookup = perm.index_lookup[:like.dim]
-    i = np.arange(like.dim)
+    n = min(len(perm.index_lookup), like.logical_dim)
+    lookup = np.asarray(perm.index_lookup[:n])
+    i = np.arange(n)
     base = PM.empty(like.dim, bs=like.bs, k=like.k, dtype=like.dtype,
                     grid=like.grid)
-    p_rows = PM.fill_from_triplets(base, i, lookup, np.ones(like.dim))
-    p_cols = PM.fill_from_triplets(base, lookup, i, np.ones(like.dim))
+    p_rows = PM.fill_from_triplets(base, i, lookup, np.ones(n))
+    p_cols = PM.fill_from_triplets(base, lookup, i, np.ones(n))
     return p_rows, p_cols
 
 

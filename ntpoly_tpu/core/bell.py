@@ -33,6 +33,11 @@ from ..config import EMPTY
 
 Array = jax.Array
 
+# TPU matmuls default to bf16 multiplication passes; NTPoly's convergence
+# tolerances (1e-6) need true f32 products, so every contraction in this
+# kernel layer requests full precision explicitly.
+PRECISION = lax.Precision.HIGHEST
+
 
 # ----------------------------------------------------------------------------
 # small helpers
@@ -106,7 +111,8 @@ def merge(cols: Array, blocks: Array, k_out: int, threshold=0.0
     first = sc != prev
     g = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1      # [..., M]
     onehot = (g[..., :, None] == jnp.arange(m))               # [..., M, M]
-    mb = jnp.einsum('...mn,...mij->...nij', onehot.astype(sb.dtype), sb)
+    mb = jnp.einsum('...mn,...mij->...nij', onehot.astype(sb.dtype), sb,
+                    precision=PRECISION)
     mc = jnp.min(jnp.where(onehot, sc[..., :, None], EMPTY), axis=-2)
     mb = mb * (mc != EMPTY)[..., None, None].astype(mb.dtype)
     return compact(mc, mb, k_out, threshold)
@@ -181,11 +187,12 @@ def spgemm(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,
             bc = b_cols[ks]                       # [C, KB]
             bb = b_blocks[ks]                     # [C, KB, bs, bs]
             part = jnp.einsum('cij,ctjk->ctik', acc_blocks[:, s].astype(dt),
-                              bb.astype(dt))
+                              bb.astype(dt), precision=PRECISION)
             tval = (bc != EMPTY) & valid[:, None]
             loc = jnp.where(tval, bc - col_offset, 0)
             oh = ((loc[..., None] == col_range) & tval[..., None]).astype(dt)
-            return acc + jnp.einsum('ctn,ctik->cnik', oh, part)
+            return acc + jnp.einsum('ctn,ctik->cnik', oh, part,
+                                    precision=PRECISION)
 
         acc = lax.fori_loop(
             0, KA, step, jnp.zeros((C, nbc_out, bs, bs), dt))
@@ -211,7 +218,8 @@ def spgemm_dense(a_cols, a_blocks, b_cols, b_blocks, *, col_offset, nbc_out,
     dt = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
     ad = to_dense(a_cols, a_blocks, nbc=nbk, col_offset=0)
     bd = to_dense(b_cols, b_blocks, nbc=nbc_out, col_offset=col_offset)
-    cd = jnp.asarray(alpha, dt) * (ad.astype(dt) @ bd.astype(dt))
+    cd = jnp.asarray(alpha, dt) * jnp.matmul(
+        ad.astype(dt), bd.astype(dt), precision=PRECISION)
     cd = jnp.where(jnp.abs(cd) > threshold, cd, 0)
     bs = a_blocks.shape[-1]
     return from_dense(cd, bs=bs, k=k_out, col_offset=col_offset)
@@ -230,7 +238,7 @@ def to_dense(cols: Array, blocks: Array, nbc: int, col_offset: int = 0
     valid = (cols != EMPTY) & (loc >= 0) & (loc < nbc)
     oh = ((loc[..., None] == jnp.arange(nbc)) & valid[..., None])
     dense = jnp.einsum('...rkn,...rkij->...rinj', oh.astype(blocks.dtype),
-                       blocks)
+                       blocks, precision=PRECISION)
     return dense.reshape(dense.shape[:-4] + (R * bs, nbc * bs))
 
 
@@ -266,7 +274,8 @@ def trace_blocks(cols: Array, blocks: Array, row_offset: int = 0) -> Array:
     R = cols.shape[-2]
     rows = jnp.arange(R) + row_offset
     hit = (cols == rows[..., :, None]).astype(blocks.dtype)
-    return jnp.einsum('...rk,...rkij->...rij', hit, blocks)
+    return jnp.einsum('...rk,...rkij->...rij', hit, blocks,
+                      precision=PRECISION)
 
 
 def trace(cols, blocks, row_offset: int = 0) -> Array:
@@ -286,7 +295,7 @@ def align_mul(a_cols, a_blocks, b_cols, b_blocks) -> Array:
         & (a_cols != EMPTY)[..., :, None]                     # [..., KA, KB]
     dt = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
     b_at_a = jnp.einsum('...st,...tij->...sij', matchm.astype(dt),
-                        b_blocks.astype(dt))
+                        b_blocks.astype(dt), precision=PRECISION)
     return a_blocks.astype(dt) * b_at_a
 
 
@@ -308,7 +317,8 @@ def col_abs_sums(cols: Array, blocks: Array, nbc: int) -> Array:
     valid = (cols != EMPTY)
     loc = jnp.where(valid, cols, 0)
     oh = ((loc[..., None] == jnp.arange(nbc)) & valid[..., None])
-    out = jnp.einsum('...rkn,...rkj->...nj', oh.astype(persl.dtype), persl)
+    out = jnp.einsum('...rkn,...rkj->...nj', oh.astype(persl.dtype),
+                     persl, precision=PRECISION)
     return out
 
 

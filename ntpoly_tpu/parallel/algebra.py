@@ -273,7 +273,8 @@ def spmv(a: PSMatrix, x: jax.Array) -> jax.Array:
     valid = a.col_ids != EMPTY
     loc = jnp.where(valid, a.col_ids, 0)
     xg = xb[loc] * valid[..., None].astype(x.dtype)        # [Pc, NB, K, bs]
-    y = jnp.einsum('prkij,prkj->ri', a.blocks, xg.astype(a.dtype))
+    y = jnp.einsum('prkij,prkj->ri', a.blocks, xg.astype(a.dtype),
+                   precision=lax.Precision.HIGHEST)
     return y.reshape(-1)
 
 

@@ -9,14 +9,23 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 nnz/s counts nonzeros processed per multiply (nnz(A) + nnz(B) + nnz(C)),
-the same accounting NTPoly's linear-scaling claims use.  vs_baseline is
-measured against the driver target of 1e9 nnz/s per chip (BASELINE.md —
-the reference publishes no in-repo numbers).
+the accounting NTPoly's linear-scaling claims use.  vs_baseline is measured
+against the driver target of 1e9 nnz/s per chip (BASELINE.md — the
+reference publishes no in-repo numbers).
+
+Synchronization note: on the tunneled TPU backend ``block_until_ready``
+returns at enqueue, so timing uses a scalar readback barrier.
 """
 import json
 import time
 
 import numpy as np
+
+
+def _sync(mat):
+    """Force device completion: tiny scalar readback."""
+    import jax.numpy as jnp
+    return float(jnp.sum(mat.blocks[0, 0, 0, 0]))
 
 
 def main():
@@ -35,22 +44,22 @@ def main():
 
     grid = ProcessGrid(1, 1, 1, devices=jax.devices()[:1])
     i, j, v = _chain_hamiltonian(dim, bandwidth=bandwidth)
-    h = PM.empty(dim, bs=bs, dtype=np.float32, grid=grid,
-                 k=4 * (bandwidth // bs + 2))
+    # k=1 lets the fill pick the tight per-row block capacity.
+    h = PM.empty(dim, bs=bs, dtype=np.float32, grid=grid, k=1)
     h = PM.fill_from_triplets(h, i, j, v.astype(np.float32))
+    k_out = 2 * h.k + 1          # X@X doubles the band
 
     def one(x):
-        return alg.matmul(x, x, threshold=threshold)
+        return alg.matmul(x, x, threshold=threshold, k_out=k_out)
 
-    # warmup/compile
     c = one(h)
-    jax.block_until_ready(c.blocks)
+    _sync(c)                      # compile + settle
 
-    reps = 10
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         c = one(h)
-    jax.block_until_ready(c.blocks)
+    _sync(c)
     dt = (time.perf_counter() - t0) / reps
 
     nnz_a = int(h.nnz)

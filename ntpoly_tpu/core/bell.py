@@ -207,6 +207,56 @@ def spgemm(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,
     return cc, cb
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k_out", "row_chunk"))
+def spgemm_candidates(a_cols: Array, a_blocks: Array, b_cols: Array,
+                      b_blocks: Array, *, col_offset, k_out: int,
+                      threshold=0.0, alpha=1.0, row_chunk: int = 16
+                      ) -> Tuple[Array, Array]:
+    """C = alpha * A @ B via explicit partial products + k-way merge.
+
+    For each A slot (r, s) the full B block-row k = a_cols[r, s] is gathered
+    and multiplied, giving KA*KB candidate blocks per row that
+    :func:`merge` then combines.  Avoids the dense accumulator's wide
+    one-hot scatter — the right trade when KA*KB is small (banded/threshold
+    -sparse matrices), which is NTPoly's entire regime.  Same contract as
+    :func:`spgemm`; ``col_offset`` only biases nothing here since candidate
+    ids are taken from B directly (kept for signature parity).
+    """
+    R, KA = a_cols.shape
+    KB = b_cols.shape[-1]
+    bs = a_blocks.shape[-1]
+    dt = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
+    alpha = jnp.asarray(alpha, dt)
+
+    Rp = _round_up(max(R, 1), row_chunk)
+    if Rp != R:
+        a_cols = jnp.pad(a_cols, ((0, Rp - R), (0, 0)),
+                         constant_values=EMPTY)
+        a_blocks = jnp.pad(a_blocks, ((0, Rp - R), (0, 0), (0, 0), (0, 0)))
+    nchunks = Rp // row_chunk
+    ac = a_cols.reshape(nchunks, row_chunk, KA)
+    ab = a_blocks.reshape(nchunks, row_chunk, KA, bs, bs)
+
+    def do_chunk(operands):
+        cc, cb = operands                     # [C,KA], [C,KA,bs,bs]
+        valid = cc != EMPTY
+        ks = jnp.where(valid, cc, 0)
+        bc = b_cols[ks]                       # [C,KA,KB]
+        bb = b_blocks[ks]                     # [C,KA,KB,bs,bs]
+        parts = jnp.einsum('csij,cstjk->cstik', cb.astype(dt),
+                           bb.astype(dt), precision=PRECISION) * alpha
+        cand_cols = jnp.where(valid[..., None] & (bc != EMPTY), bc, EMPTY)
+        C = cc.shape[0]
+        cand_cols = cand_cols.reshape(C, KA * KB)
+        parts = parts.reshape(C, KA * KB, bs, bs)
+        return merge(cand_cols, parts, k_out, threshold)
+
+    oc, ob = lax.map(do_chunk, (ac, ab))
+    return (oc.reshape(Rp, k_out)[:R],
+            ob.reshape(Rp, k_out, bs, bs)[:R])
+
+
 def spgemm_dense(a_cols, a_blocks, b_cols, b_blocks, *, col_offset, nbc_out,
                  k_out, nbk, threshold=0.0, alpha=1.0):
     """Dense fast path: densify both operands, one big MXU matmul, re-sparsify.

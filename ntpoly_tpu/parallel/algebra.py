@@ -48,10 +48,11 @@ __all__ = [
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "pnb", "k_out", "s_slices", "row_chunk"))
+    static_argnames=("grid", "pnb", "k_out", "s_slices", "row_chunk",
+                     "method"))
 def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
            final_thresh, *, grid: ProcessGrid, pnb: int, k_out: int,
-           s_slices: int, row_chunk: int):
+           s_slices: int, row_chunk: int, method: str = "acc"):
     bs = a_blocks.shape[-1]
     pc = grid.cols
 
@@ -72,9 +73,14 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
             agc = jnp.where(keep, agc, EMPTY)
             agb = agb * keep[..., None, None].astype(agb.dtype)
         c0 = lax.axis_index("cols") * pnb
-        cc, cb = bell.spgemm(
-            agc, agb, bgc, bgb, col_offset=c0, nbc_out=pnb, k_out=k_out,
-            threshold=working_thresh, alpha=alpha, row_chunk=row_chunk)
+        if method == "cand":
+            cc, cb = bell.spgemm_candidates(
+                agc, agb, bgc, bgb, col_offset=c0, k_out=k_out,
+                threshold=working_thresh, alpha=alpha, row_chunk=row_chunk)
+        else:
+            cc, cb = bell.spgemm(
+                agc, agb, bgc, bgb, col_offset=c0, nbc_out=pnb, k_out=k_out,
+                threshold=working_thresh, alpha=alpha, row_chunk=row_chunk)
         if s_slices > 1:
             gc = lax.all_gather(cc, "slices", axis=0)     # [S, nbr, k]
             gb = lax.all_gather(cb, "slices", axis=0)
@@ -95,11 +101,17 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
 
 def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
            c: PSMatrix | None = None, threshold=0.0,
-           k_out: int | None = None, row_chunk: int | None = None
-           ) -> PSMatrix:
+           k_out: int | None = None, row_chunk: int | None = None,
+           method: str = "auto") -> PSMatrix:
     """C = alpha*A@B + beta*C, threshold-filtered 3D SUMMA.
 
     (reference PSMatrixAlgebraModule.F90:106-269.)
+
+    method: 'acc' = dense-accumulator Gustavson (best when operands are
+    dense-ish), 'cand' = explicit partial products + k-way merge (best in
+    the sparse regime, where KA*KB per row is small), 'auto' picks by the
+    candidate count — the analogue of the reference's density heuristic
+    (sparse_includes/GemmMatrix.f90:58-61).
     """
     assert a.grid == b.grid and a.nb == b.nb and a.bs == b.bs
     s = a.grid.slices
@@ -107,11 +119,14 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
     row_chunk = row_chunk or max(1, min(8, a.nb // a.grid.rows))
     wt = threshold / (s * 1000.0) if s > 1 else threshold
     dt = jnp.result_type(a.dtype, b.dtype)
+    if method == "auto":
+        n_cand = a.grid.cols * a.k * b.k
+        method = "cand" if n_cand <= max(64, 8 * k_out) else "acc"
     cc, cb = _summa(
         a.col_ids, a.blocks.astype(dt), b.col_ids, b.blocks.astype(dt),
         jnp.asarray(alpha, dt), wt, threshold,
         grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
-        row_chunk=row_chunk)
+        row_chunk=row_chunk, method=method)
     out = PSMatrix(cc, cb, a.dim, a.bs, a.grid)
     if c is not None:
         out = increment(c, out, alpha=beta, beta=1.0, threshold=threshold)

@@ -87,8 +87,49 @@ def GetGlobalMySlice() -> int:
     return 0
 
 
+def WriteGridInfo():
+    """reference WriteGridInfo (Source/CPlusPlus/ProcessGrid.h:111)."""
+    g = _grid.global_grid()
+    _logger.write_header("Process Grid")
+    _logger.enter_sub_log()
+    _logger.write_element("Process Rows", g.rows)
+    _logger.write_element("Process Columns", g.cols)
+    _logger.write_element("Process Slices", g.slices)
+    _logger.exit_sub_log()
+
+
 class ProcessGrid(_grid.ProcessGrid):
-    """Custom (non-global) grid; reference Source/CPlusPlus/ProcessGrid.h."""
+    """Custom (non-global) grid; reference Source/CPlusPlus/ProcessGrid.h.
+
+    Under single-controller JAX every "rank" is driven from this process,
+    so My{Row,Column,Slice} are 0 (the controller's coordinates).
+    """
+
+    def GetMyRow(self) -> int:
+        return 0
+
+    def GetMyColumn(self) -> int:
+        return 0
+
+    def GetMySlice(self) -> int:
+        return 0
+
+    def GetNumRows(self) -> int:
+        return self.rows
+
+    def GetNumColumns(self) -> int:
+        return self.cols
+
+    def GetNumSlices(self) -> int:
+        return self.slices
+
+    def WriteInfo(self):
+        _logger.write_header("Process Grid")
+        _logger.enter_sub_log()
+        _logger.write_element("Process Rows", self.rows)
+        _logger.write_element("Process Columns", self.cols)
+        _logger.write_element("Process Slices", self.slices)
+        _logger.exit_sub_log()
 
 
 # ----------------------------------------------------------------------------
@@ -796,6 +837,26 @@ class MatrixMapper:
     @staticmethod
     def Map(inmat, outmat, proc):
         outmat._m = _maps.map_matrix(inmat._m, proc)
+
+    @staticmethod
+    def GetSliceInfo(mat):
+        """(num_slices, my_slice) of the matrix's grid (reference
+        Source/CPlusPlus/MatrixMapper.h:73-74; the slice-round-robin
+        work split is internal here, so my_slice is the controller's 0)."""
+        return mat._m.grid.slices, 0
+
+
+class LoadBalancer:
+    """Permutation-based load balancing (reference
+    Source/CPlusPlus/LoadBalancer.h, LoadBalancerModule.F90:16-92)."""
+
+    @staticmethod
+    def PermuteMatrix(mat_in, mat_out, permutation, memorypool=None):
+        mat_out._m = _perm.permute_matrix(mat_in._m, permutation)
+
+    @staticmethod
+    def UndoPermuteMatrix(mat_in, mat_out, permutation, memorypool=None):
+        mat_out._m = _perm.undo_permute_matrix(mat_in._m, permutation)
 
 
 # ----------------------------------------------------------------------------

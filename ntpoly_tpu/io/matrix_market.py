@@ -2,8 +2,10 @@
 PSMatrixModule.F90:351-570).
 
 The reference does MPI-IO with per-rank byte ranges; under single-controller
-JAX the host parses the file (numpy vectorized; a C accelerator can slot in
-here) and shards the result onto the mesh via fill_from_triplets.
+JAX the host parses the file and shards the result onto the mesh via
+fill_from_triplets.  The hot parse/format loops run in the native C++
+library (:mod:`ntpoly_tpu.native`, multithreaded byte ranges — the direct
+analogue of the reference's per-rank ranges) with a numpy fallback.
 Symmetric / hermitian / skew-symmetric headers are expanded exactly as the
 reference's SymmetrizeTripletList does (TripletListModule.F90:509-590).
 """
@@ -11,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
 from ..parallel import pmatrix as PM
 
 
@@ -31,26 +34,33 @@ def read_triplets(file_name: str):
     if fmt != "coordinate":
         raise ValueError("only coordinate MatrixMarket files are supported")
     with open(file_name, "rb") as f:
-        lines = []
-        for line in f:
-            s = line.strip()
-            if s and not s.startswith(b"%"):
-                lines.append(s)
-    dims = lines[0].split()
-    n_rows, n_cols = int(dims[0]), int(dims[1])
-    body = b"\n".join(lines[1:])
-    if field == "pattern":
-        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 2)
-        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
-        v = np.ones(len(i))
-    elif field == "complex":
-        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 4)
-        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
-        v = arr[:, 2] + 1j * arr[:, 3]
+        f.readline()                              # header line
+        raw = f.read()
+    if native.available():
+        code = {"pattern": native.FIELD_PATTERN,
+                "complex": native.FIELD_COMPLEX}.get(field, native.FIELD_REAL)
+        n_rows, n_cols, i, j, v = native.mm_parse_body(raw, code)
     else:
-        arr = np.array(body.split(), dtype=np.float64).reshape(-1, 3)
-        i, j = arr[:, 0].astype(np.int64) - 1, arr[:, 1].astype(np.int64) - 1
-        v = arr[:, 2]
+        lines = [s for s in (ln.strip() for ln in raw.splitlines())
+                 if s and not s.startswith(b"%")]
+        dims = lines[0].split()
+        n_rows, n_cols = int(dims[0]), int(dims[1])
+        body = b"\n".join(lines[1:])
+        if field == "pattern":
+            arr = np.array(body.split(), dtype=np.float64).reshape(-1, 2)
+            i, j = (arr[:, 0].astype(np.int64) - 1,
+                    arr[:, 1].astype(np.int64) - 1)
+            v = np.ones(len(i))
+        elif field == "complex":
+            arr = np.array(body.split(), dtype=np.float64).reshape(-1, 4)
+            i, j = (arr[:, 0].astype(np.int64) - 1,
+                    arr[:, 1].astype(np.int64) - 1)
+            v = arr[:, 2] + 1j * arr[:, 3]
+        else:
+            arr = np.array(body.split(), dtype=np.float64).reshape(-1, 3)
+            i, j = (arr[:, 0].astype(np.int64) - 1,
+                    arr[:, 1].astype(np.int64) - 1)
+            v = arr[:, 2]
     if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
         off = i != j
         io_, jo, vo = i[off], j[off], v[off]
@@ -93,12 +103,16 @@ def write(mat: PM.PSMatrix, file_name: str):
     r, c, v = PM.to_triplets(mat)
     is_complex = np.iscomplexobj(v)
     field = "complex" if is_complex else "real"
-    with open(file_name, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
-        f.write(f"{mat.dim} {mat.dim} {len(v)}\n")
-        if is_complex:
+    with open(file_name, "wb") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} general\n"
+                .encode())
+        f.write(f"{mat.dim} {mat.dim} {len(v)}\n".encode())
+        if native.available():
+            f.write(native.mm_format(r, c, v))
+        elif is_complex:
             for i, j, val in zip(r + 1, c + 1, v):
-                f.write(f"{i} {j} {val.real:.16g} {val.imag:.16g}\n")
+                f.write(f"{i} {j} {val.real:.16g} {val.imag:.16g}\n"
+                        .encode())
         else:
             for i, j, val in zip(r + 1, c + 1, v):
-                f.write(f"{i} {j} {val:.16g}\n")
+                f.write(f"{i} {j} {val:.16g}\n".encode())

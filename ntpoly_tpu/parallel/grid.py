@@ -91,6 +91,30 @@ class ProcessGrid:
         'cols', block-rows over 'rows', replicated over 'slices'."""
         return self.sharding("cols", "rows")
 
+    def split(self) -> tuple["ProcessGrid", "ProcessGrid", bool]:
+        """Halve the grid for task parallelism (reference SplitProcessGrid,
+        ProcessGridModule.F90:430-515): slices are split first, then the
+        longer of rows/cols.  Returns (first_half, second_half,
+        split_slice).  With a single device both halves are the grid itself
+        (the reference requires >= 2 ranks; one chip can still run both
+        tasks serially)."""
+        devs = np.asarray(self.mesh.devices)       # [rows, cols, slices]
+        if self.n_devices == 1:
+            return self, self, False
+        if self.slices > 1:
+            h = self.slices // 2
+            a, b = devs[:, :, :h], devs[:, :, h:]
+        elif self.cols >= self.rows:
+            h = self.cols // 2
+            a, b = devs[:, :h], devs[:, h:]
+        else:
+            h = self.rows // 2
+            a, b = devs[:h], devs[h:]
+        def mk(d):
+            return ProcessGrid(d.shape[0], d.shape[1], d.shape[2],
+                               devices=list(d.reshape(-1)))
+        return mk(a), mk(b), self.slices > 1
+
 
 # ----------------------------------------------------------------------------
 # global default grid (reference keeps `global_grid`,

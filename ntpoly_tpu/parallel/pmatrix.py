@@ -207,6 +207,36 @@ def resize(m: PSMatrix, new_dim: int) -> PSMatrix:
     return fill_from_triplets(out, r[keep], c[keep], v[keep])
 
 
+def load_balance_stats(m: PSMatrix) -> tuple[int, int]:
+    """(min, max) stored nonzeros per mesh shard (reference
+    GetMatrixLoadBalance, PSMatrixModule.F90:1394-1427 — min/max nnz per
+    rank; here a "rank" is one (rows, cols) mesh tile)."""
+    blk = np.asarray(m.blocks)                 # [P, NB, K, bs, bs]
+    rshards = np.array_split(np.arange(m.nb), m.grid.rows)
+    counts = [int(np.count_nonzero(blk[p][rs]))
+              for p in range(m.panels) for rs in rshards]
+    return min(counts), max(counts)
+
+
+def set_grid(m: PSMatrix, grid: ProcessGrid) -> PSMatrix:
+    """Move a matrix onto a different process grid (reference
+    SetMatrixProcessGrid, PSMatrixModule.F90:309-347)."""
+    r, c, v = to_triplets(m)
+    out = empty(m.dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=grid)
+    return fill_from_triplets(out, r, c, v)
+
+
+def comm_split(m: PSMatrix):
+    """Split the matrix's grid in half and re-home a copy on one half
+    (reference CommSplitMatrix, PSMatrixModule.F90:1489-1545): enables
+    running independent solves on sub-grids.  Returns
+    (matrix_on_half_grid, color, split_slice) where color picks which half
+    this copy landed on (always 0 under single-controller JAX, which drives
+    both halves)."""
+    half, _, split_slice = m.grid.split()
+    return set_grid(m, half), 0, split_slice
+
+
 def get_slice(m: PSMatrix, start_row: int, end_row: int, start_col: int,
               end_col: int) -> PSMatrix:
     """GetMatrixSlice (reference PSMatrixModule.F90:1153-1227): extract a

@@ -42,24 +42,41 @@ def main():
     bandwidth = 160
     threshold = 1e-6
 
+    import jax
+    import jax.numpy as jnp
+
     grid = ProcessGrid(1, 1, 1, devices=jax.devices()[:1])
     i, j, v = _chain_hamiltonian(dim, bandwidth=bandwidth)
     # k=1 lets the fill pick the tight per-row block capacity.
     h = PM.empty(dim, bs=bs, dtype=np.float32, grid=grid, k=1)
     h = PM.fill_from_triplets(h, i, j, v.astype(np.float32))
-    k_out = 2 * h.k + 1          # X@X doubles the band
-
-    def one(x):
-        return alg.matmul(x, x, threshold=threshold, k_out=k_out)
-
-    c = one(h)
-    _sync(c)                      # compile + settle
+    # Size the output capacity to the exact structural fill-in (NTPoly
+    # sizes its memory pool the same way, GemmMatrix.f90:48-56).
+    k_out = alg.fill_bound(h, h)
 
     reps = 20
+
+    # A compiled chain of multiplies — how every solver iteration runs
+    # (lax.while_loop / scan around matmul), so per-call dispatch latency
+    # is paid once, not per multiply.  Per-step alpha defeats CSE.
+    @jax.jit
+    def chain(x):
+        def step(carry, aa):
+            c = alg.matmul(x, x, alpha=aa, threshold=threshold,
+                           k_out=k_out, on_overflow="truncate")
+            return carry + c.blocks[0, 0, 0, 0, 0], None
+        tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                              jnp.linspace(1.0, 2.0, reps,
+                                           dtype=jnp.float32))
+        return tot
+
+    c = alg.matmul(h, h, threshold=threshold, k_out=k_out,
+                   on_overflow="truncate")
+    float(chain(h))               # compile + settle
+
     t0 = time.perf_counter()
-    for _ in range(reps):
-        c = one(h)
-    _sync(c)
+    tot = chain(h)
+    float(tot)                    # scalar readback barrier
     dt = (time.perf_counter() - t0) / reps
 
     nnz_a = int(h.nnz)

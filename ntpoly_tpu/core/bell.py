@@ -118,6 +118,23 @@ def merge(cols: Array, blocks: Array, k_out: int, threshold=0.0
     return compact(mc, mb, k_out, threshold)
 
 
+def union_fill(a_cols: Array, b_cols: Array) -> Array:
+    """Exact per-row structural fill of A + B: distinct non-EMPTY col ids
+    in the union of the two slot sets.  [..., KA], [..., KB] -> [...]."""
+    ids = jnp.concatenate([a_cols, b_cols], axis=-1)
+    sids = jnp.sort(ids, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full(sids.shape[:-1] + (1,), -1, sids.dtype), sids[..., :-1]],
+        axis=-1)
+    first = (sids != prev) & (sids != EMPTY)
+    return jnp.sum(first.astype(jnp.int32), axis=-1)
+
+
+def occupancy(cols: Array) -> Array:
+    """Per-row count of occupied slots: [..., K] -> [...]."""
+    return jnp.sum((cols != EMPTY).astype(jnp.int32), axis=-1)
+
+
 def add(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,
         alpha=1.0, beta=1.0, threshold=0.0, k_out: int | None = None
         ) -> Tuple[Array, Array]:

@@ -30,8 +30,17 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import EMPTY
 from ..core import bell
+from ..ops import spgemm_pallas
 from .pmatrix import PSMatrix, empty, identity
 from .grid import ProcessGrid
+
+
+def _concrete_int(x) -> int | None:
+    """int(x) when x is concrete, None under a jit trace (so capacity-grow
+    loops degrade to fixed-capacity behavior inside compiled code)."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    return int(x)
 
 __all__ = [
     "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
@@ -49,10 +58,11 @@ __all__ = [
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "pnb", "k_out", "s_slices", "row_chunk",
-                     "method"))
+                     "method", "interpret", "want_fill"))
 def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
            final_thresh, *, grid: ProcessGrid, pnb: int, k_out: int,
-           s_slices: int, row_chunk: int, method: str = "acc"):
+           s_slices: int, row_chunk: int, method: str = "acc",
+           interpret: bool = False, want_fill: bool = True):
     bs = a_blocks.shape[-1]
     pc = grid.cols
 
@@ -67,13 +77,28 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
         # Column panel of B: gather all block-rows of my panel over 'rows'.
         bgc = lax.all_gather(bc[0], "rows", axis=0, tiled=True)  # [NB, KB]
         bgb = lax.all_gather(bb[0], "rows", axis=0, tiled=True)
+        # Exact structural fill-in (pre split-k masking) — the capacity a
+        # lossless multiply needs; max-reduced over the mesh so the caller
+        # can regrow k_out instead of silently truncating.
+        if want_fill:
+            fill = jnp.max(spgemm_pallas.structural_fill(agc, bgc))
+        else:
+            fill = jnp.int32(0)
         if s_slices > 1:
             s = lax.axis_index("slices")
             keep = (agc != EMPTY) & (agc % s_slices == s)
             agc = jnp.where(keep, agc, EMPTY)
             agb = agb * keep[..., None, None].astype(agb.dtype)
         c0 = lax.axis_index("cols") * pnb
-        if method == "cand":
+        if method == "pallas":
+            cc, cb, _ = spgemm_pallas.spgemm_pallas(
+                agc, agb, bgc, bgb, k_out=k_out,
+                threshold=working_thresh, alpha=alpha, interpret=interpret)
+        elif method == "dense":
+            cc, cb = bell.spgemm_dense(
+                agc, agb, bgc, bgb, col_offset=c0, nbc_out=pnb, k_out=k_out,
+                nbk=bgc.shape[0], threshold=working_thresh, alpha=alpha)
+        elif method == "cand":
             cc, cb = bell.spgemm_candidates(
                 agc, agb, bgc, bgb, col_offset=c0, k_out=k_out,
                 threshold=working_thresh, alpha=alpha, row_chunk=row_chunk)
@@ -88,45 +113,128 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
             gb = jnp.moveaxis(gb, 0, 1).reshape(
                 nbr_loc, s_slices * k_out, bs, bs)
             cc, cb = bell.merge(gc, gb, k_out, final_thresh)
-        return cc[None], cb[None]
+        # one int32[2] readback covers both the capacity check (structural
+        # fill) and the trim decision (max occupancy)
+        stats = jnp.stack([fill, jnp.max(bell.occupancy(cc))])
+        stats = lax.pmax(stats, ("rows", "cols", "slices"))
+        return cc[None], cb[None], stats
 
     spec_c = P("cols", "rows", None)
     spec_b = P("cols", "rows", None, None, None)
     return jax.shard_map(
         local_fn, mesh=grid.mesh,
         in_specs=(spec_c, spec_b, spec_c, spec_b),
-        out_specs=(spec_c, spec_b), check_vma=False,
+        out_specs=(spec_c, spec_b, P(None)), check_vma=False,
     )(a_cols, a_blocks, b_cols, b_blocks)
+
+
+def _on_cpu(grid: ProcessGrid) -> bool:
+    return grid.mesh.devices.flat[0].platform == "cpu"
+
+
+def _k_bucket(n: int, cap: int) -> int:
+    """Round capacity up to a multiple of 4 to bound recompilation."""
+    return min(-(-max(n, 1) // 4) * 4, cap)
+
+
+def _pick_method(a: PSMatrix, b: PSMatrix, k_out: int) -> str:
+    """The density-heuristic dispatch (analogue of reference
+    sparse_includes/GemmMatrix.f90:58-61 + DenseBranch.f90), extended with
+    the TPU kernel tier."""
+    dt = jnp.result_type(a.dtype, b.dtype)
+    # dense branch: both operands dense-ish (capacity fraction as the
+    # density proxy) and the densified panels are affordable.
+    if (min(a.k, b.k) > 0.5 * a.nb and a.nb * a.bs <= 4096):
+        return "dense"
+    if not _on_cpu(a.grid) and spgemm_pallas.eligible(
+            dt, a.bs, k_out, a.grid.cols * a.k, b.k):
+        return "pallas"
+    n_cand = a.grid.cols * a.k * b.k
+    return "cand" if n_cand <= max(64, 8 * k_out) else "acc"
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _fill_bound_jit(a_cols, b_cols, *, grid: ProcessGrid):
+    pc = grid.cols
+
+    def local_fn(ac, bc):
+        nbr_loc = ac.shape[1]
+        ka = ac.shape[-1]
+        agc = lax.all_gather(ac[0], "cols", axis=0)
+        agc = jnp.moveaxis(agc, 0, 1).reshape(nbr_loc, pc * ka)
+        bgc = lax.all_gather(bc[0], "rows", axis=0, tiled=True)
+        fill = jnp.max(spgemm_pallas.structural_fill(agc, bgc))
+        return lax.pmax(fill, ("rows", "cols", "slices"))
+
+    spec_c = P("cols", "rows", None)
+    return jax.shard_map(
+        local_fn, mesh=grid.mesh, in_specs=(spec_c, spec_c),
+        out_specs=P(), check_vma=False)(a_cols, b_cols)
+
+
+def fill_bound(a: PSMatrix, b: PSMatrix) -> int:
+    """Exact structural capacity A @ B needs (max per-panel-row fill-in) —
+    the TPU equivalent of sizing NTPoly's memory pool up front
+    (reference sparse_includes/GemmMatrix.f90:48-56)."""
+    return int(_fill_bound_jit(a.col_ids, b.col_ids, grid=a.grid))
 
 
 def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
            c: PSMatrix | None = None, threshold=0.0,
            k_out: int | None = None, row_chunk: int | None = None,
-           method: str = "auto") -> PSMatrix:
+           method: str = "auto", on_overflow: str = "grow") -> PSMatrix:
     """C = alpha*A@B + beta*C, threshold-filtered 3D SUMMA.
 
     (reference PSMatrixAlgebraModule.F90:106-269.)
 
-    method: 'acc' = dense-accumulator Gustavson (best when operands are
-    dense-ish), 'cand' = explicit partial products + k-way merge (best in
-    the sparse regime, where KA*KB per row is small), 'auto' picks by the
-    candidate count — the analogue of the reference's density heuristic
-    (sparse_includes/GemmMatrix.f90:58-61).
+    method: 'pallas' = the TPU kernel (ops/spgemm_pallas.py, the fast path
+    on real hardware), 'acc' = dense-accumulator Gustavson in XLA, 'cand' =
+    explicit partial products + k-way merge, 'dense' = densify + one MXU
+    matmul, 'auto' picks — the analogue of the reference's density
+    heuristic (sparse_includes/GemmMatrix.f90:58-61).
+
+    on_overflow: every multiply measures the exact structural fill-in; if
+    it exceeds the output capacity ``k_out``, 'grow' (default) re-runs with
+    enough capacity — the reference's memory pool never drops
+    above-threshold entries either (GemmMatrix.f90:48-56).  'truncate'
+    keeps the current capacity (largest-norm blocks win; pallas keeps the
+    lowest column ids) and stays trace-safe for use under jit.
     """
     assert a.grid == b.grid and a.nb == b.nb and a.bs == b.bs
     s = a.grid.slices
-    k_out = min(k_out or max(a.k, b.k), a.panel_nb)
+    cap = a.panel_nb
+    k_out = min(k_out or max(a.k, b.k), cap)
     row_chunk = row_chunk or max(1, min(8, a.nb // a.grid.rows))
     wt = threshold / (s * 1000.0) if s > 1 else threshold
     dt = jnp.result_type(a.dtype, b.dtype)
-    if method == "auto":
-        n_cand = a.grid.cols * a.k * b.k
-        method = "cand" if n_cand <= max(64, 8 * k_out) else "acc"
-    cc, cb = _summa(
-        a.col_ids, a.blocks.astype(dt), b.col_ids, b.blocks.astype(dt),
-        jnp.asarray(alpha, dt), wt, threshold,
-        grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
-        row_chunk=row_chunk, method=method)
+    requested = method
+    grow = on_overflow == "grow"
+    while True:
+        if requested == "auto":
+            method = _pick_method(a, b, k_out)
+        interpret = method == "pallas" and _on_cpu(a.grid)
+        cc, cb, stats = _summa(
+            a.col_ids, a.blocks.astype(dt), b.col_ids, b.blocks.astype(dt),
+            jnp.asarray(alpha, dt), wt, threshold,
+            grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
+            row_chunk=row_chunk, method=method, interpret=interpret,
+            want_fill=grow)
+        if not grow or k_out >= cap:
+            break
+        if isinstance(stats, jax.core.Tracer):
+            break
+        st = np.asarray(stats)                # ONE host sync per multiply
+        need = int(st[0])                     # structural capacity check
+        if need <= k_out:
+            # trim grown-but-unused capacity (slots are sorted, EMPTY
+            # last, so a slice suffices) — capacity bloat widens every
+            # later multiply
+            k_eff = _k_bucket(int(st[1]), cap)
+            if k_eff < k_out:
+                cc = cc[..., :k_eff]
+                cb = cb[..., :k_eff, :, :]
+            break
+        k_out = _k_bucket(need, cap)
     out = PSMatrix(cc, cb, a.dim, a.bs, a.grid)
     if c is not None:
         out = increment(c, out, alpha=beta, beta=1.0, threshold=threshold)
@@ -137,16 +245,32 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
 # cheap (slot-wise / reduction) ops — rely on XLA sharding propagation
 # ----------------------------------------------------------------------------
 
-@jax.jit
-def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
-              k_out: int | None = None) -> PSMatrix:
-    """alpha*A + beta*B (AXPY; reference IncrementMatrix)."""
-    k_out = min(k_out or max(a.k, b.k), a.panel_nb)
+@functools.partial(jax.jit, static_argnames=("k_out",))
+def _increment_jit(a: PSMatrix, b: PSMatrix, alpha, beta, threshold,
+                   k_out: int):
     cc, cb = bell.add(a.col_ids, a.blocks, b.col_ids, b.blocks,
                       alpha=alpha, beta=beta, threshold=threshold,
                       k_out=k_out)
-    return PSMatrix(cc, cb, a.dim, a.bs, a.grid).astype(
+    fill = jnp.max(bell.union_fill(a.col_ids, b.col_ids))
+    out = PSMatrix(cc, cb, a.dim, a.bs, a.grid).astype(
         jnp.result_type(a.dtype, b.dtype))
+    return out, fill
+
+
+def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
+              k_out: int | None = None,
+              on_overflow: str = "grow") -> PSMatrix:
+    """alpha*A + beta*B (AXPY; reference IncrementMatrix).  Structural
+    overflow of the output capacity grows it (see :func:`matmul`)."""
+    cap = a.panel_nb
+    k = min(k_out or max(a.k, b.k), cap)
+    while True:
+        out, fill = _increment_jit(a, b, alpha, beta, threshold, k_out=k)
+        need = _concrete_int(fill)
+        if (on_overflow != "grow" or k >= cap or need is None
+                or need <= k):
+            return out
+        k = _k_bucket(need, cap)
 
 
 @jax.jit
@@ -191,9 +315,7 @@ def conjugate(a: PSMatrix) -> PSMatrix:
 
 
 @functools.partial(jax.jit, static_argnames=("k_out",))
-def transpose(a: PSMatrix, k_out: int | None = None) -> PSMatrix:
-    """TransposeMatrix (reference distributed_includes/TransposeMatrix.f90):
-    block-COO flip + rebuild (XLA emits the all-to-all redistribution)."""
+def _transpose_jit(a: PSMatrix, k_out: int):
     pc, nb, k = a.col_ids.shape
     bs = a.bs
     rows = jnp.broadcast_to(
@@ -202,13 +324,32 @@ def transpose(a: PSMatrix, k_out: int | None = None) -> PSMatrix:
     rows = rows.reshape(-1)
     blocks = bell.transpose_blocks(a.blocks).reshape(-1, bs, bs)
     valid = cols != EMPTY
+    # output fill per (new panel = old row's panel, new row = old col)
+    pidx = rows // a.panel_nb
+    fill = jnp.max(jnp.zeros((pc, nb), jnp.int32).at[
+        pidx, jnp.where(valid, cols, nb)].add(1, mode='drop'))
     oc, ob = bell.from_block_coo(
         jnp.where(valid, cols, nb), rows, blocks, valid,
-        nbr=nb, k=min(k_out or a.k, a.panel_nb), panels=pc,
-        panel_nbc=a.panel_nb)
+        nbr=nb, k=k_out, panels=pc, panel_nbc=a.panel_nb)
     sh = a.grid.matrix_sharding
     return a.with_data(jax.lax.with_sharding_constraint(oc, sh),
-                       jax.lax.with_sharding_constraint(ob, sh))
+                       jax.lax.with_sharding_constraint(ob, sh)), fill
+
+
+def transpose(a: PSMatrix, k_out: int | None = None,
+              on_overflow: str = "grow") -> PSMatrix:
+    """TransposeMatrix (reference distributed_includes/TransposeMatrix.f90):
+    block-COO flip + rebuild (XLA emits the all-to-all redistribution).
+    Structural overflow of the output capacity grows it."""
+    cap = a.panel_nb
+    k = min(k_out or a.k, cap)
+    while True:
+        out, fill = _transpose_jit(a, k_out=k)
+        need = _concrete_int(fill)
+        if (on_overflow != "grow" or k >= cap or need is None
+                or need <= k):
+            return out
+        k = _k_bucket(need, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("side",))

@@ -1,0 +1,126 @@
+"""Parity tests for the Pallas SpGEMM kernel (interpret mode on CPU).
+
+The kernel is the library's hot loop on real TPUs; here it runs through the
+Pallas interpreter against the XLA reference implementation
+(``bell.spgemm_candidates``) and a numpy oracle, mirroring how the
+reference tests its local multiply against scipy
+(reference UnitTests/test_matrix.py).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntpoly_tpu.config import EMPTY
+from ntpoly_tpu.core import bell
+from ntpoly_tpu.ops.spgemm_pallas import (
+    spgemm_pallas, structure_plan, structural_fill, eligible)
+
+
+def rand_block_sparse(rng, nbr, nbc, bs, density=0.4):
+    d = rng.standard_normal((nbr * bs, nbc * bs))
+    mask = rng.random((nbr, nbc)) < density
+    return d * np.kron(mask, np.ones((bs, bs)))
+
+
+def to_bell(dense, bs, k):
+    return bell.from_dense(jnp.asarray(dense, np.float32), bs=bs, k=k)
+
+
+@pytest.mark.parametrize("density", [0.2, 0.6])
+def test_matches_bell_and_numpy(rng, density):
+    nb, bs = 8, 8
+    a = rand_block_sparse(rng, nb, nb, bs, density)
+    b = rand_block_sparse(rng, nb, nb, bs, density)
+    ac, ab = to_bell(a, bs, nb)
+    bc, bb = to_bell(b, bs, nb)
+    cc, cb, ucnt = spgemm_pallas(ac, ab, bc, bb, k_out=nb, interpret=True)
+    rc, rb = bell.spgemm_candidates(ac, ab, bc, bb, col_offset=0, k_out=nb)
+    assert np.array_equal(np.asarray(cc), np.asarray(rc))
+    dense = np.asarray(bell.to_dense(cc, cb, nbc=nb), np.float64)
+    assert np.allclose(dense, (a @ b).astype(np.float32), atol=1e-3)
+    # structural fill matches the true pattern
+    pattern = ((np.abs(a) > 0).reshape(nb, bs, nb, bs).any((1, 3)) @
+               (np.abs(b) > 0).reshape(nb, bs, nb, bs).any((1, 3)))
+    assert np.array_equal(np.asarray(ucnt), pattern.sum(1))
+
+
+def test_threshold_and_alpha(rng):
+    nb, bs = 6, 8
+    a = rand_block_sparse(rng, nb, nb, bs, 0.5) * 0.1
+    ac, ab = to_bell(a, bs, nb)
+    thr = 0.05
+    cc, cb, _ = spgemm_pallas(ac, ab, ac, ab, k_out=nb, threshold=thr,
+                              alpha=2.5, interpret=True)
+    rc, rb = bell.spgemm_candidates(ac, ab, ac, ab, col_offset=0,
+                                    k_out=nb, threshold=thr, alpha=2.5)
+    assert np.array_equal(np.asarray(cc), np.asarray(rc))
+    got = np.asarray(cb)
+    assert (np.abs(got[got != 0]) > thr).all()
+    assert np.allclose(bell.to_dense(cc, cb, nbc=nb),
+                       bell.to_dense(rc, rb, nbc=nb), atol=1e-5)
+
+
+def test_ragged_rows_and_empty_row(rng):
+    nb, bs, k = 6, 8, 3
+    ac = np.full((nb, k), EMPTY, np.int32)
+    ab = np.zeros((nb, k, bs, bs), np.float32)
+    for r in range(nb):
+        if r == 2:
+            continue                        # leave row 2 entirely empty
+        cols = rng.choice(nb, size=rng.integers(1, k + 1), replace=False)
+        for s, c in enumerate(sorted(cols)):
+            ac[r, s] = c
+            ab[r, s] = rng.standard_normal((bs, bs))
+    bc, bb = to_bell(rand_block_sparse(rng, nb, nb, bs, 0.5), bs, k + 2)
+    cc, cb, _ = spgemm_pallas(jnp.asarray(ac), jnp.asarray(ab), bc, bb,
+                              k_out=nb, interpret=True)
+    rc, rb = bell.spgemm_candidates(jnp.asarray(ac), jnp.asarray(ab),
+                                    bc, bb, col_offset=0, k_out=nb)
+    assert np.array_equal(np.asarray(cc), np.asarray(rc))
+    assert np.allclose(np.asarray(cb), np.asarray(rb), atol=1e-5)
+    assert (np.asarray(cc)[2] == EMPTY).all()
+
+
+def test_overflow_reports_ucnt(rng):
+    """With k_out below the fill-in, ucnt flags the overflow and the kernel
+    keeps the lowest column ids."""
+    nb, bs = 6, 8
+    a = rand_block_sparse(rng, nb, nb, bs, 0.9)
+    ac, ab = to_bell(a, bs, nb)
+    k_small = 3
+    cc, cb, ucnt = spgemm_pallas(ac, ab, ac, ab, k_out=k_small,
+                                 interpret=True)
+    assert int(jnp.max(ucnt)) > k_small
+    full_cc, full_cb, _ = spgemm_pallas(ac, ab, ac, ab, k_out=nb,
+                                        interpret=True)
+    # kept blocks = the first k_small survivors by ascending col id
+    assert np.array_equal(np.asarray(cc), np.asarray(full_cc)[:, :k_small])
+    assert np.allclose(np.asarray(cb), np.asarray(full_cb)[:, :k_small],
+                       atol=1e-6)
+
+
+def test_structure_plan_slots(rng):
+    nb = 5
+    ac = jnp.asarray(rng.integers(0, nb, (4, 3)), jnp.int32)
+    bc = jnp.asarray(np.sort(rng.integers(0, nb, (nb, 2)), axis=1),
+                     jnp.int32)
+    slot, occ, ucnt = structure_plan(ac, bc, k_out=nb)
+    occ = np.asarray(occ)
+    slot = np.asarray(slot)
+    for r in range(4):
+        ids = np.asarray(bc)[np.asarray(ac)[r]].reshape(-1)
+        uniq = np.unique(ids)
+        assert np.array_equal(occ[r, :len(uniq)], uniq)
+        assert int(np.asarray(ucnt)[r]) == len(uniq)
+        for m, i in enumerate(ids):
+            assert occ[r, slot[r, m]] == i
+    assert np.array_equal(np.asarray(structural_fill(ac, bc)),
+                          np.asarray(ucnt))
+
+
+def test_eligible_gates():
+    assert eligible(np.float32, 128, 11, 5, 5)
+    assert not eligible(np.complex64, 128, 11, 5, 5)
+    assert not eligible(np.float64, 128, 11, 5, 5)
+    assert not eligible(np.float32, 100, 11, 5, 5)
+    assert not eligible(np.float32, 128, 500, 5, 5)   # VMEM blowout

@@ -134,3 +134,81 @@ def test_gemm_threshold(tmp_path, rng, grid):
     kept = np.abs(got) > 0
     assert np.all(np.abs(ref[~kept]) <= 0.01 + 1e-12)
     assert np.allclose(got[kept], ref[kept])
+
+
+# ----------------------------------------------------------------------------
+# capacity auto-grow and method dispatch (round-2 additions; the reference
+# grows its memory pool instead of dropping entries,
+# Source/Fortran/sparse_includes/GemmMatrix.f90:48-56)
+# ----------------------------------------------------------------------------
+
+def test_matmul_auto_grows_capacity(rng):
+    """C = A@B whose fill-in exceeds max(a.k, b.k): no hand-passed k_out,
+    no dropped above-threshold mass."""
+    import jax.numpy as jnp
+    from ntpoly_tpu.parallel import algebra as alg, pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    grid = ProcessGrid(2, 2, 1)
+    dim, bs = 32, 4
+    # tridiagonal block band: X@X has a 5-wide band (fill-in 5 > k=3)
+    d = np.zeros((dim, dim))
+    for off in (-4, 0, 4):
+        d += np.diag(rng.random(dim - abs(off)) + 1.0, off)
+    m = PM.from_dense(d, bs=bs, grid=grid, k=1)
+    assert m.k == 3
+    # without growth, the 4-per-panel fill-in would be truncated to 3
+    c = alg.matmul(m, m)
+    assert c.k > m.k
+    assert rel_error(np.asarray(PM.to_dense(c)), d @ d) < 1e-13
+
+
+def test_increment_auto_grows_capacity(rng):
+    from ntpoly_tpu.parallel import algebra as alg, pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    grid = ProcessGrid(2, 2, 1)
+    dim, bs = 32, 4
+    a = np.diag(rng.random(dim))                       # k = 1
+    b = np.zeros((dim, dim))
+    b[:, :8] = rng.random((dim, 8))                    # k = 2, disjoint cols
+    ma = PM.from_dense(a, bs=bs, grid=grid)
+    mb = PM.from_dense(b, bs=bs, grid=grid)
+    c = alg.increment(ma, mb)
+    assert rel_error(np.asarray(PM.to_dense(c)), a + b) < 1e-14
+
+
+def test_transpose_auto_grows_capacity(rng):
+    from ntpoly_tpu.parallel import algebra as alg, pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    grid = ProcessGrid(2, 2, 1)
+    dim, bs = 32, 4
+    d = np.zeros((dim, dim))
+    d[:, :4] = rng.random((dim, 4))                    # dense block-col
+    m = PM.from_dense(d, bs=bs, grid=grid)
+    t = alg.transpose(m)
+    assert rel_error(np.asarray(PM.to_dense(t)), d.T) < 1e-14
+
+
+@pytest.mark.parametrize("method", ["acc", "cand", "dense", "pallas"])
+def test_matmul_methods_agree(rng, method):
+    from ntpoly_tpu.parallel import algebra as alg, pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    grid = ProcessGrid(2, 2, 1)
+    dim, bs = 32, 8
+    d = rng.random((dim, dim)) * (rng.random((dim, dim)) < 0.4)
+    m = PM.from_dense(d.astype(np.float32), bs=bs, grid=grid)
+    c = alg.matmul(m, m, threshold=1e-6, method=method)
+    assert rel_error(np.asarray(PM.to_dense(c)), d @ d) < 1e-5
+
+
+def test_dense_method_auto_selected(rng):
+    """Dense-ish operands on a small matrix pick the dense branch
+    (reference GemmMatrix.f90:58-61)."""
+    from ntpoly_tpu.parallel import algebra as alg, pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    grid = ProcessGrid(1, 1, 1)
+    dim, bs = 32, 4
+    d = rng.random((dim, dim))                         # fully dense
+    m = PM.from_dense(d, bs=bs, grid=grid)
+    assert alg._pick_method(m, m, k_out=m.panel_nb) == "dense"
+    c = alg.matmul(m, m)
+    assert rel_error(np.asarray(PM.to_dense(c)), d @ d) < 1e-13

@@ -704,6 +704,11 @@ class TrigonometrySolvers:
     def DenseCosine(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.dense_cosine(InputMat._m, _params_of(sp))
 
+    @staticmethod
+    def ScaleSquareTrigonometryTaylor(InputMat, OutputMat, sp=None):
+        OutputMat._m = _trig.scale_square_trigonometry_taylor(
+            InputMat._m, _params_of(sp))
+
 
 class LinearSolvers:
     @staticmethod
@@ -837,6 +842,14 @@ class MatrixMapper:
     @staticmethod
     def Map(inmat, outmat, proc):
         outmat._m = _maps.map_matrix(inmat._m, proc)
+
+    @staticmethod
+    def MapVectorized(inmat, outmat, fn):
+        """Vectorized fast path: fn(rows, cols, vals) -> (rows, cols, vals)
+        or (rows, cols, vals, keep_mask) over whole triplet arrays — the
+        TPU-native idiom for element maps (one fused kernel instead of a
+        Python call per element)."""
+        outmat._m = _maps.map_triplets(inmat._m, fn)
 
     @staticmethod
     def GetSliceInfo(mat):

@@ -43,7 +43,8 @@ PRECISION = lax.Precision.HIGHEST
 # small helpers
 # ----------------------------------------------------------------------------
 
-def _take_slots(cols: Array, blocks: Array, order: Array) -> Tuple[Array, Array]:
+def _take_slots(cols: Array, blocks: Array, order: Array
+                ) -> Tuple[Array, Array]:
     """Reorder the slot axis (last of cols, -3 of blocks) by ``order``."""
     c = jnp.take_along_axis(cols, order, axis=-1)
     b = jnp.take_along_axis(blocks, order[..., None, None], axis=-3)
@@ -78,7 +79,8 @@ def compact(cols: Array, blocks: Array, k_out: int, threshold=0.0
     are dropped, and if more than ``k_out`` blocks survive in a row the
     largest (by block L1 norm) are kept.  Output slots are sorted by col id.
 
-    cols: [..., M]; blocks: [..., M, bs, bs] -> ([..., k_out], [..., k_out, bs, bs])
+    cols: [..., M]; blocks: [..., M, bs, bs]
+    -> ([..., k_out], [..., k_out, bs, bs])
     """
     blocks = jnp.where(jnp.abs(blocks) > threshold, blocks, 0)
     cols, blocks = pad_slots(cols, blocks, k_out)
@@ -101,7 +103,8 @@ def merge(cols: Array, blocks: Array, k_out: int, threshold=0.0
 
     Accepts arbitrary slot order and duplicate col ids — the k-way merge that
     NTPoly performs when summing gathered CSR contributions
-    (reference Source/Fortran/comm_includes/ReduceAndSumMatrixCleanup.f90:10-35).
+    (reference Source/Fortran/comm_includes/
+    ReduceAndSumMatrixCleanup.f90:10-35).
     """
     m = cols.shape[-1]
     order = jnp.argsort(cols, axis=-1)
@@ -172,7 +175,8 @@ def spgemm(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,
     Returns C as [R, k_out] block-ELL with global col ids.
 
     TPU-first redesign of NTPoly's Gustavson SpGEMM with pooled dense
-    accumulator (reference Source/Fortran/sparse_includes/MultiplyBlock.f90:8-36
+    accumulator (reference
+    Source/Fortran/sparse_includes/MultiplyBlock.f90:8-36
     + PruneList.f90): rows are processed in chunks, each chunk scattering
     bs x bs partial products into a dense (chunk, nbc_out) block accumulator
     via one-hot contractions (MXU-friendly; no serialized scatters), then the
@@ -298,7 +302,8 @@ def spgemm_dense(a_cols, a_blocks, b_cols, b_blocks, *, col_offset, nbc_out,
 
 def to_dense(cols: Array, blocks: Array, nbc: int, col_offset: int = 0
              ) -> Array:
-    """[R, K] block-ELL -> dense [R*bs, nbc*bs] (cols shifted by col_offset)."""
+    """[R, K] block-ELL -> dense [R*bs, nbc*bs], cols shifted by
+    col_offset."""
     R, K = cols.shape[-2:]
     bs = blocks.shape[-1]
     loc = cols - col_offset

@@ -127,7 +127,8 @@ def fill_from_triplets(m: PSMatrix, rows, cols, vals) -> PSMatrix:
     """Build the block-ELL panels from global (i, j, v) triplets (host side).
 
     Replaces NTPoly's FillMatrixFromTripletList alltoallv redistribution
-    (reference Source/Fortran/distributed_includes/FillMatrixFromTripletList.f90)
+    (reference Source/Fortran/distributed_includes/
+    FillMatrixFromTripletList.f90)
     with a host-side construction + device_put under the mesh sharding.
     Duplicate coordinates are summed.
     """

@@ -91,6 +91,49 @@ def _scale_square_trig(mat, params):
     return maybe_unpermute(params, out)
 
 
+def scale_square_trigonometry_taylor(mat,
+                                     params: SolverParameters | None = None):
+    """cos(A) via aggressive scaling + even Taylor series + double-angle
+    squaring (reference ScaleSquareTrigonometryTaylor,
+    TrigonometrySolversModule.F90:157-262; higham2003computing).
+
+    Scale by sigma = 2^k until rho/sigma <= 3e-3, accumulate
+    cos(x) ~= sum_k (-1)^k x^{2k} / (2k)! over even powers (the series is
+    evaluated in powers of A^2), then square back with
+    cos(2x) = 2 cos^2 x - 1.
+    """
+    params, _ = resolve(params)
+    with solver_log(params, "Trigonometry Solver", "Taylor"):
+        e_min, e_max = alg.gershgorin_bounds(mat)
+        spectral_radius = max(abs(float(e_min)), abs(float(e_max)))
+        sigma = 1.0
+        counter = 1
+        while spectral_radius / sigma > 3.0e-3:
+            sigma *= 2
+            counter += 1
+        scaled = alg.scale(mat, 1.0 / sigma)
+        imat = identity_like(mat)
+        out = identity_like(mat)
+        scaled, imat, out = maybe_permute(params, scaled, imat, out)
+
+        # Even-power Taylor accumulation: A_k tracks (A/sigma)^(2k).
+        a2 = alg.matmul(scaled, scaled, threshold=params.threshold)
+        ak = out
+        taylor_denom = -2.0
+        for ii in range(2, 41, 2):
+            ak = alg.matmul(ak, a2, threshold=params.threshold)
+            out = alg.increment(out, ak, 1.0, 1.0 / taylor_denom)
+            taylor_denom *= (ii + 1)
+            taylor_denom *= -(ii + 2)
+
+        for _ in range(counter - 1):
+            out = alg.increment(
+                alg.matmul(out, out, alpha=2.0,
+                           threshold=params.threshold),
+                imat, 1.0, -1.0)
+        return maybe_unpermute(params, out)
+
+
 def dense_sine(mat, params: SolverParameters | None = None):
     from .eigen import dense_matrix_function
     import jax.numpy as jnp

@@ -19,7 +19,12 @@ import jax
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+
+# NTPOLY_TPU_TEST_F32=1 runs the suite at the production TPU dtype (f32,
+# x64 off) — the oracle tolerance (1e-4, reference UnitTests/helpers.py:13)
+# must hold there too.
+F32 = os.environ.get("NTPOLY_TPU_TEST_F32", "") == "1"
+jax.config.update("jax_enable_x64", not F32)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -35,6 +40,15 @@ def grid_shape_from_env(default=(2, 2, 1)):
     if r and c and s:
         return (int(r), int(c), int(s))
     return default
+
+
+def solver_grid_sweep():
+    """Grid shapes the solver suites sweep (env override picks one shape,
+    the way the reference's RunTest.sh drives ctest)."""
+    env = grid_shape_from_env(None)
+    if env is not None:
+        return [env]
+    return [(1, 1, 1), (2, 2, 1), (2, 2, 2), (1, 2, 4)]
 
 
 @pytest.fixture

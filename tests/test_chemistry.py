@@ -11,18 +11,35 @@ from scipy.io import mmread, mmwrite
 from scipy.sparse import csr_matrix
 
 import ntpoly_tpu as nt
-from conftest import THRESHOLD, EXTRAP_THRESHOLD, grid_shape_from_env, \
-    rel_error
+from conftest import THRESHOLD, EXTRAP_THRESHOLD, rel_error, \
+    solver_grid_sweep
 
 DIM = 16
 NEL = 5.0
 
 
-@pytest.fixture(scope="module", autouse=True)
-def grid():
-    nt.ConstructGlobalProcessGrid(*grid_shape_from_env((2, 2, 1)))
+@pytest.fixture(scope="module", autouse=True, params=solver_grid_sweep(),
+                ids=lambda s: "x".join(map(str, s)))
+def grid(request):
+    """Swept over grid shapes incl. slices>1 (reference
+    UnitTests/CMakeLists.txt:42-52)."""
+    nt.ConstructGlobalProcessGrid(*request.param)
     yield
     nt.DestructGlobalProcessGrid()
+
+
+@pytest.fixture(autouse=True)
+def yaml_log(tmp_path):
+    """Logger active for every test; output must re-parse as YAML
+    (reference UnitTests/test_solvers.py:58-70)."""
+    import yaml
+    log_file = tmp_path / "log.yaml"
+    nt.ActivateLogger(str(log_file))
+    yield
+    nt.DeactivateLogger()
+    if log_file.exists() and log_file.stat().st_size:
+        with open(log_file) as f:
+            assert yaml.safe_load(f) is not None
 
 
 class System:
@@ -63,6 +80,7 @@ class System:
 def solver_params(load_balance_dim=None):
     sp = nt.SolverParameters()
     sp.SetConvergeDiff(1e-10)
+    sp.SetVerbosity(True)
     if load_balance_dim:
         perm = nt.Permutation(load_balance_dim)
         perm.SetRandomPermutation()

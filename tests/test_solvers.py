@@ -12,16 +12,36 @@ from scipy.io import mmread, mmwrite
 from scipy.sparse import csr_matrix
 
 import ntpoly_tpu as nt
-from conftest import THRESHOLD, grid_shape_from_env, rel_error
+from conftest import (THRESHOLD, grid_shape_from_env, rel_error,
+                      solver_grid_sweep)
 
 DIM = 23
 
 
-@pytest.fixture(scope="module", autouse=True)
-def grid():
-    nt.ConstructGlobalProcessGrid(*grid_shape_from_env((2, 2, 1)))
+@pytest.fixture(scope="module", autouse=True, params=solver_grid_sweep(),
+                ids=lambda s: "x".join(map(str, s)))
+def grid(request):
+    """Solver suite swept over grid shapes incl. slices>1, mirroring the
+    reference's Regression111..611 ctest matrix
+    (reference UnitTests/CMakeLists.txt:42-52)."""
+    nt.ConstructGlobalProcessGrid(*request.param)
     yield
     nt.DestructGlobalProcessGrid()
+
+
+@pytest.fixture(autouse=True)
+def yaml_log(tmp_path):
+    """Activate the YAML logger and re-parse its output after every test —
+    malformed log output is a failure (reference UnitTests/test_solvers.py
+    :58-70 does this in every tearDown)."""
+    import yaml
+    log_file = tmp_path / "log.yaml"
+    nt.ActivateLogger(str(log_file))
+    yield
+    nt.DeactivateLogger()
+    if log_file.exists() and log_file.stat().st_size:
+        with open(log_file) as f:
+            assert yaml.safe_load(f) is not None
 
 
 @pytest.fixture
@@ -29,6 +49,7 @@ def isp():
     p = nt.SolverParameters()
     p.SetConvergeDiff(1e-8)
     p.SetMonitorConvergence(False)
+    p.SetVerbosity(True)
     return p
 
 
@@ -241,6 +262,16 @@ def test_trigonometry(tmp_path, rng, isp, fn):
         nt.TrigonometrySolvers.Cosine(a, out, isp)
         ref = np.real(sla.cosm(m))
     check(tmp_path, out, ref)
+
+
+def test_trigonometry_taylor(tmp_path, rng, isp):
+    """Taylor-series cosine (reference ScaleSquareTrigonometryTaylor,
+    TrigonometrySolversModule.F90:157-262)."""
+    m = create_matrix(rng)
+    a = to_nt(tmp_path, m)
+    out = nt.Matrix_ps(DIM)
+    nt.TrigonometrySolvers.ScaleSquareTrigonometryTaylor(a, out, isp)
+    check(tmp_path, out, np.real(sla.cosm(m)))
 
 
 @pytest.mark.parametrize("fn", ["sin", "cos"])

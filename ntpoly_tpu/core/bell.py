@@ -355,6 +355,18 @@ def trace(cols, blocks, row_offset: int = 0) -> Array:
     return jnp.trace(d, axis1=-2, axis2=-1).sum()
 
 
+def align(a_cols, b_cols, b_blocks) -> Array:
+    """B's blocks gathered onto A's slot structure: [..., KA, bs, bs] where
+    slot s holds the B block with A's col id (0 if B has none).  The
+    primitive behind snap-to-sparsity-pattern (reference
+    MatrixConversionModule.F90:21-63)."""
+    matchm = (a_cols[..., :, None] == b_cols[..., None, :]) \
+        & (a_cols != EMPTY)[..., :, None]                     # [..., KA, KB]
+    dt = b_blocks.dtype
+    return jnp.einsum('...st,...tij->...sij', matchm.astype(dt),
+                      b_blocks, precision=PRECISION)
+
+
 def align_mul(a_cols, a_blocks, b_cols, b_blocks) -> Array:
     """Hadamard product on the intersection pattern.
 

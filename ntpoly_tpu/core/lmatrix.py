@@ -35,12 +35,34 @@ class LocalMatrix:
     @classmethod
     def from_triplets(cls, rows_idx, cols_idx, vals, rows, cols, bs=4,
                       dtype=None):
-        dense = np.zeros((rows, cols),
-                         dtype or np.asarray(vals).dtype)
-        np.add.at(dense, (np.asarray(rows_idx, np.int64),
-                          np.asarray(cols_idx, np.int64)),
-                  np.asarray(vals))
-        return cls.from_dense(dense, bs=bs)
+        """Sparse construction: triplets -> block-ELL without ever
+        materializing the dense matrix (duplicates are summed, as in the
+        reference's sort-and-merge CSR build,
+        SMatrixModule.F90 ConstructMatrixFromTripletList)."""
+        ri = np.asarray(rows_idx, np.int64)
+        ci = np.asarray(cols_idx, np.int64)
+        vals = np.asarray(vals)
+        out = cls(rows, cols, bs=bs, dtype=dtype or vals.dtype)
+        bi, bj = ri // bs, ci // bs
+        bid = bi * out.nbc + bj
+        ub, inv = np.unique(bid, return_inverse=True)
+        nub = len(ub)
+        blocks = np.zeros((nub, bs, bs), out.dtype)
+        np.add.at(blocks, (inv, ri % bs, ci % bs), vals.astype(out.dtype))
+        ubi, ubj = ub // out.nbc, ub % out.nbc
+        # ub is sorted, so each row's blocks are contiguous and ascending
+        first = np.ones(nub, bool)
+        first[1:] = ubi[1:] != ubi[:-1]
+        start = np.maximum.accumulate(np.where(first, np.arange(nub), 0))
+        slot = np.arange(nub) - start
+        k = int(slot.max()) + 1 if nub else 1
+        col_ids = np.full((out.nbr, k), EMPTY, np.int32)
+        out_blocks = np.zeros((out.nbr, k, bs, bs), out.dtype)
+        col_ids[ubi, slot] = ubj
+        out_blocks[ubi, slot] = blocks
+        out.col_ids = jnp.asarray(col_ids)
+        out.blocks = jnp.asarray(out_blocks)
+        return out
 
     @classmethod
     def from_dense(cls, dense, bs: int = 4):

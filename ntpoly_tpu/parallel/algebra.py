@@ -20,7 +20,9 @@ comm_includes/ReduceAndSumMatrixCleanup.f90:26-31).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -42,12 +44,43 @@ def _concrete_int(x) -> int | None:
         return None
     return int(x)
 
+
+# ----------------------------------------------------------------------------
+# ambient capacity policy
+# ----------------------------------------------------------------------------
+
+_policy = threading.local()
+
+
+def _policy_get(attr):
+    return getattr(_policy, attr, None)
+
+
+@contextlib.contextmanager
+def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
+                    on_overflow: str | None = None):
+    """Ambient capacity defaults for matmul/increment/transpose.
+
+    Solvers install this from SolverParameters.k_out / row_chunk: pinning
+    the output capacity keeps iteration shapes static, so XLA compiles
+    each op once instead of once per fill-in level (the role NTPoly's
+    preallocated memory pool plays, GemmMatrix.f90:48-56 — there for
+    allocation cost, here for compilation cost)."""
+    prev = (_policy_get("k_out"), _policy_get("row_chunk"),
+            _policy_get("on_overflow"))
+    _policy.k_out, _policy.row_chunk, _policy.on_overflow = \
+        k_out, row_chunk, on_overflow
+    try:
+        yield
+    finally:
+        _policy.k_out, _policy.row_chunk, _policy.on_overflow = prev
+
 __all__ = [
     "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
     "pairwise_multiply", "filter_small", "transpose", "conjugate",
     "diagonal_scale", "measure_asymmetry", "symmetrize",
     "similarity_transform", "column_sums", "gershgorin_bounds", "spmv",
-    "matrix_sigma", "load_balance",
+    "matrix_sigma", "load_balance", "capacity_policy", "fill_bound",
 ]
 
 
@@ -146,8 +179,12 @@ def _pick_method(a: PSMatrix, b: PSMatrix, k_out: int) -> str:
     # density proxy) and the densified panels are affordable.
     if (min(a.k, b.k) > 0.5 * a.nb and a.nb * a.bs <= 4096):
         return "dense"
-    if not _on_cpu(a.grid) and spgemm_pallas.eligible(
-            dt, a.bs, k_out, a.grid.cols * a.k, b.k):
+    # pallas pays only when each shard has enough block-rows to fill the
+    # pipeline; small shards are dispatch-bound on any path, so use the
+    # XLA paths there (fewer kernel compiles, same wall time).
+    if (not _on_cpu(a.grid) and a.nb // a.grid.rows >= 64
+            and spgemm_pallas.eligible(
+                dt, a.bs, k_out, a.grid.cols * a.k, b.k)):
         return "pallas"
     n_cand = a.grid.cols * a.k * b.k
     return "cand" if n_cand <= max(64, 8 * k_out) else "acc"
@@ -182,7 +219,8 @@ def fill_bound(a: PSMatrix, b: PSMatrix) -> int:
 def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
            c: PSMatrix | None = None, threshold=0.0,
            k_out: int | None = None, row_chunk: int | None = None,
-           method: str = "auto", on_overflow: str = "grow") -> PSMatrix:
+           method: str = "auto",
+           on_overflow: str | None = None) -> PSMatrix:
     """C = alpha*A@B + beta*C, threshold-filtered 3D SUMMA.
 
     (reference PSMatrixAlgebraModule.F90:106-269.)
@@ -203,8 +241,10 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
     assert a.grid == b.grid and a.nb == b.nb and a.bs == b.bs
     s = a.grid.slices
     cap = a.panel_nb
-    k_out = min(k_out or max(a.k, b.k), cap)
-    row_chunk = row_chunk or max(1, min(8, a.nb // a.grid.rows))
+    k_out = min(k_out or _policy_get("k_out") or max(a.k, b.k), cap)
+    on_overflow = on_overflow or _policy_get("on_overflow") or "grow"
+    row_chunk = (row_chunk or _policy_get("row_chunk")
+                 or max(1, min(8, a.nb // a.grid.rows)))
     wt = threshold / (s * 1000.0) if s > 1 else threshold
     dt = jnp.result_type(a.dtype, b.dtype)
     requested = method
@@ -259,11 +299,12 @@ def _increment_jit(a: PSMatrix, b: PSMatrix, alpha, beta, threshold,
 
 def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
               k_out: int | None = None,
-              on_overflow: str = "grow") -> PSMatrix:
+              on_overflow: str | None = None) -> PSMatrix:
     """alpha*A + beta*B (AXPY; reference IncrementMatrix).  Structural
     overflow of the output capacity grows it (see :func:`matmul`)."""
     cap = a.panel_nb
-    k = min(k_out or max(a.k, b.k), cap)
+    k = min(k_out or _policy_get("k_out") or max(a.k, b.k), cap)
+    on_overflow = on_overflow or _policy_get("on_overflow") or "grow"
     while True:
         out, fill = _increment_jit(a, b, alpha, beta, threshold, k_out=k)
         need = _concrete_int(fill)
@@ -337,12 +378,13 @@ def _transpose_jit(a: PSMatrix, k_out: int):
 
 
 def transpose(a: PSMatrix, k_out: int | None = None,
-              on_overflow: str = "grow") -> PSMatrix:
+              on_overflow: str | None = None) -> PSMatrix:
     """TransposeMatrix (reference distributed_includes/TransposeMatrix.f90):
     block-COO flip + rebuild (XLA emits the all-to-all redistribution).
     Structural overflow of the output capacity grows it."""
     cap = a.panel_nb
-    k = min(k_out or a.k, cap)
+    k = min(k_out or _policy_get("k_out") or a.k, cap)
+    on_overflow = on_overflow or _policy_get("on_overflow") or "grow"
     while True:
         out, fill = _transpose_jit(a, k_out=k)
         need = _concrete_int(fill)

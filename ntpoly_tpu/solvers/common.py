@@ -30,6 +30,7 @@ class solver_log:
         self.params, self.header = params, header
         self.method, self.citations = method, citations
         self.extra = extra or {}
+        self._policy = None
 
     def __enter__(self):
         if self.params.be_verbose:
@@ -44,9 +45,20 @@ class solver_log:
                     for c in self.citations:
                         logger.write_list_element(c)
             self.params.print()
+        # Pin the block capacity for the whole solve when the user set
+        # params.k_out: iteration shapes stay static, so XLA compiles each
+        # op once instead of once per fill-in level.
+        if self.params.k_out or self.params.row_chunk:
+            self._policy = alg.capacity_policy(
+                k_out=self.params.k_out, row_chunk=self.params.row_chunk,
+                on_overflow="truncate" if self.params.k_out else None)
+            self._policy.__enter__()
         return self
 
     def __exit__(self, *exc):
+        if self._policy is not None:
+            self._policy.__exit__(*exc)
+            self._policy = None
         if self.params.be_verbose:
             logger.exit_sub_log()
         return False

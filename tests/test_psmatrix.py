@@ -209,6 +209,37 @@ def test_snap_to_sparsity_pattern(tmp_path, rng, grid):
                      ref) < 1e-14
 
 
+def _double_lower(r, c, v):
+    return 2.0 * v, r >= c
+
+
+def test_map_values_device_side(rng, grid):
+    """Device-side elementwise map (no host round-trip): values change,
+    pattern stays."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.utils import maps
+    m = random_matrix(rng, dim=17, density=0.5)
+    a = PM.from_dense(m, bs=4)
+    out = maps.map_values(a, _double_lower)
+    ref = np.where(np.tril(np.ones_like(m)) > 0, 2.0 * m, 0)
+    assert rel_error(np.asarray(PM.to_dense(out)), ref) < 1e-14
+
+
+def test_local_matrix_sparse_construction(rng):
+    """LocalMatrix.from_triplets must not densify and must match the
+    dense construction (reference ConstructMatrixFromTripletList)."""
+    from ntpoly_tpu.core.lmatrix import LocalMatrix
+    m = random_matrix(rng, dim=19, density=0.2)
+    i, j = np.nonzero(m)
+    lm = LocalMatrix.from_triplets(i, j, m[i, j], 19, 19, bs=4)
+    assert rel_error(lm.to_dense(), m) < 1e-14
+    # duplicate coordinates are summed
+    lm2 = LocalMatrix.from_triplets(
+        np.concatenate([i, i]), np.concatenate([j, j]),
+        np.concatenate([m[i, j], m[i, j]]), 19, 19, bs=4)
+    assert rel_error(lm2.to_dense(), 2 * m) < 1e-14
+
+
 def test_permutation_fill(rng, grid):
     dim = 10
     a = nt.Matrix_ps(dim)

@@ -17,6 +17,7 @@ Synchronization note: on the tunneled TPU backend ``block_until_ready``
 returns at enqueue, so timing uses scalar readback barriers.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -130,7 +131,8 @@ def bench_trs4(grid, on_cpu):
     isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
     nel = dim // 2                       # half filling: mu in the gap
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
-                              k_out=min(h.panel_nb, 8 * h.k))
+                              k_out=min(h.panel_nb, 8 * h.k),
+                              iters_per_sync=8)
     t0 = time.perf_counter()
     rho, energy, mu = density.trs4(h, isq, float(nel), params)
     _sync(rho)
@@ -206,19 +208,56 @@ def bench_cheby_exp_log(grid, on_cpu):
     _emit("cheby_exp_log_wall_s", time.perf_counter() - t0, "s")
 
 
-def main():
+CONFIGS = {
+    "spgemm": bench_spgemm,
+    "hotelling": bench_hotelling,
+    "trs4": bench_trs4,
+    "complex": bench_complex_isq_sign,
+    "cheby": bench_cheby_exp_log,
+}
+
+# Printed order: headline LAST (the driver parses the last JSON line).
+ORDER = ["hotelling", "trs4", "complex", "cheby", "spgemm"]
+
+
+def run_one(name):
     import jax
     from ntpoly_tpu.parallel.grid import ProcessGrid
-
     on_cpu = jax.devices()[0].platform == "cpu"
     grid = ProcessGrid(1, 1, 1, devices=jax.devices()[:1])
+    CONFIGS[name](grid, on_cpu)
 
-    bench_hotelling(grid, on_cpu)
-    bench_trs4(grid, on_cpu)
-    bench_complex_isq_sign(grid, on_cpu)
-    bench_cheby_exp_log(grid, on_cpu)
-    bench_spgemm(grid, on_cpu)           # headline last: driver parses it
+
+def main():
+    """Each config runs in its own subprocess with a timeout: the tunneled
+    TPU backend occasionally stalls for minutes in a fresh XLA compile
+    (server-side compile cache makes reruns fast), and one stalled config
+    must not take the others down."""
+    import subprocess
+    import sys
+
+    lines = {}
+    # headline first in execution (most important to complete), last in
+    # output
+    for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
+        try:
+            res = subprocess.run(
+                [sys.executable, __file__, "--config", name],
+                capture_output=True, text=True,
+                timeout=540 if name == "spgemm" else 360)
+            for ln in res.stdout.splitlines():
+                if ln.startswith("{"):
+                    lines[name] = ln
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: timed out (cold XLA compile stall)",
+                  file=sys.stderr)
+    for name in ORDER:
+        if name in lines:
+            print(lines[name], flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        run_one(sys.argv[2])
+    else:
+        main()

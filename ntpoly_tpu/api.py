@@ -307,6 +307,11 @@ class SolverParameters:
     def SetStepThreshold(self, value):
         self._p.step_thresh = value
 
+    def SetItersPerSync(self, value):
+        """TPU extension: iterations fused into one compiled scan between
+        host convergence checks (1 = reference per-iteration semantics)."""
+        self._p.iters_per_sync = int(value)
+
     def SetMonitorConvergence(self, value):
         self._p.monitor_convergence = bool(value)
 

@@ -195,7 +195,7 @@ def spgemm(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,
     ac = a_cols.reshape(nchunks, row_chunk, KA)
     ab = a_blocks.reshape(nchunks, row_chunk, KA, bs, bs)
 
-    col_range = jnp.arange(nbc_out)
+    col_range = jnp.arange(nbc_out, dtype=jnp.int32)
 
     def do_chunk(operands):
         acc_cols, acc_blocks = operands   # [C,KA], [C,KA,bs,bs]
@@ -322,7 +322,8 @@ def from_dense(dense: Array, bs: int, k: int, col_offset: int = 0,
     R, nbc = M // bs, N // bs
     blocks = dense.reshape(dense.shape[:-2] + (R, bs, nbc, bs))
     blocks = jnp.swapaxes(blocks, -3, -2)         # [..., R, nbc, bs, bs]
-    cols = jnp.broadcast_to(jnp.arange(nbc) + col_offset,
+    cols = jnp.broadcast_to(jnp.arange(nbc, dtype=jnp.int32)
+                            + col_offset,
                             blocks.shape[:-3] + (nbc,))
     return compact(cols, blocks, k, threshold)
 

@@ -143,3 +143,87 @@ def identity_like(mat) -> PM.PSMatrix:
 def real_scalar(x) -> float:
     x = complex(x)
     return float(x.real)
+
+
+# ----------------------------------------------------------------------------
+# chunked (scan-fused) iteration machinery — TPU dispatch amortization
+# ----------------------------------------------------------------------------
+
+def select_matrix(pred, a: PM.PSMatrix, b: PM.PSMatrix) -> PM.PSMatrix:
+    """Whole-matrix select on a traced scalar predicate (both operands must
+    share shapes — i.e. run under a pinned capacity)."""
+    import jax.numpy as jnp
+    return a.with_data(jnp.where(pred, a.col_ids, b.col_ids),
+                       jnp.where(pred, a.blocks, b.blocks))
+
+
+def pad_capacity(m: PM.PSMatrix, k: int) -> PM.PSMatrix:
+    """Widen (or keep) the slot capacity to exactly k."""
+    import jax.numpy as jnp
+    from ..config import EMPTY
+    if m.k == k:
+        return m
+    assert m.k < k, "pad_capacity cannot shrink"
+    pads = k - m.k
+    cc = jnp.pad(m.col_ids, ((0, 0), (0, 0), (0, pads)),
+                 constant_values=EMPTY)
+    cb = jnp.pad(m.blocks, ((0, 0), (0, 0), (0, pads), (0, 0), (0, 0)))
+    return m.with_data(cc, cb)
+
+
+def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
+                k_pin: int, aux_names=("Energy Value",), conv_index=0,
+                conv_mode: str = "diff"):
+    """Drive step_fn with params.iters_per_sync iterations fused into one
+    compiled lax.scan per host sync (the TPU answer to the reference's
+    per-iteration MPI_Allreduce convergence checks: dispatch and readback
+    latency is paid once per chunk, not per iteration).
+
+    step_fn(carry, *consts) -> (carry_new, (scalar, ...)) — fully traced,
+    static shapes (matrices in the carry must be pre-padded to the pinned
+    capacity ``k_pin``).  conv_mode 'diff' feeds the monitor successive
+    differences of scalar[conv_index]; 'value' feeds it directly.
+    Returns (carry, scalars_history list-of-tuples, total_iters).
+    """
+    import jax
+    import numpy as np
+    from jax import lax
+
+    chunk = max(1, params.iters_per_sync)
+
+    @jax.jit
+    def chunk_fn(carry, *cs):
+        import ntpoly_tpu.parallel.algebra as alg
+        with alg.capacity_policy(k_out=k_pin, on_overflow="truncate",
+                                 row_chunk=params.row_chunk):
+            def body(c, _):
+                return step_fn(c, *cs)
+            return lax.scan(body, carry, None, length=chunk)
+
+    history = []
+    prev = None
+    total = 0
+    for _ in range(0, params.max_iterations, chunk):
+        carry0, scal = chunk_fn(carry0, *consts)
+        scal = [np.asarray(s) for s in scal]      # ONE sync per chunk
+        converged = False
+        for it in range(chunk):
+            row = tuple(float(s[it]) for s in scal)
+            history.append(row)
+            total += 1
+            if conv_mode == "diff":
+                val = row[conv_index] if prev is None \
+                    else row[conv_index] - prev
+                prev = row[conv_index]
+            else:
+                val = row[conv_index]
+            monitor.append(val)
+            if ilog is not None:
+                ilog.step(**{name: row[i]
+                             for i, name in enumerate(aux_names)})
+            if monitor.check_converged(params.be_verbose):
+                converged = True
+                break
+        if converged or total >= params.max_iterations:
+            break
+    return carry0, history, total

@@ -122,26 +122,34 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
         x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
                           beta=e_max / (e_max - e_min))
 
-        energy = 0.0
-        total = 0
-        with iteration_log(params) as ilog:
-            for ii in range(params.max_iterations):
-                tv = real_scalar(alg.trace(x))
-                sigma = -1.0 if trace - tv < 0.0 else 1.0
-                sigmas.append(sigma)
-                x2 = alg.matmul(x, x, threshold=params.threshold)
-                if sigma > 0.0:
-                    x = alg.increment(x, x2, 2.0, -1.0,
-                                      threshold=params.threshold)
-                else:
-                    x = x2
-                energy_old = energy
-                energy = real_scalar(alg.dot(x, wh))
-                total = ii
-                monitor.append(energy - energy_old)
-                if monitor.check_converged(params.be_verbose):
-                    break
-                ilog.step(**{"Energy Value": energy})
+        if params.iters_per_sync > 1:
+            with iteration_log(params) as ilog:
+                x, history, total_1b = _trs2_chunked(
+                    x, wh, imat, trace, params, monitor, ilog)
+            energy = history[-1][0]
+            sigmas = [row[1] for row in history]
+            total = total_1b - 1
+        else:
+            energy = 0.0
+            total = 0
+            with iteration_log(params) as ilog:
+                for ii in range(params.max_iterations):
+                    tv = real_scalar(alg.trace(x))
+                    sigma = -1.0 if trace - tv < 0.0 else 1.0
+                    sigmas.append(sigma)
+                    x2 = alg.matmul(x, x, threshold=params.threshold)
+                    if sigma > 0.0:
+                        x = alg.increment(x, x2, 2.0, -1.0,
+                                          threshold=params.threshold)
+                    else:
+                        x = x2
+                    energy_old = energy
+                    energy = real_scalar(alg.dot(x, wh))
+                    total = ii
+                    monitor.append(energy - energy_old)
+                    if monitor.check_converged(params.be_verbose):
+                        break
+                    ilog.step(**{"Energy Value": energy})
         finish_iterations(params, total + 1, x)
 
         x = maybe_unpermute(params, x)
@@ -153,6 +161,76 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
         midpoint = _bisect_chemical_potential(replay, total, params)
         mu = e_max + (e_min - e_max) * midpoint
     return k, energy, mu
+
+
+def _pin_capacity(params, *mats):
+    """Pinned capacity for a chunked purification: user knob, else 3x the
+    structural fill of the first squaring (the peak of purification
+    fill-in), padded onto every matrix."""
+    from .common import pad_capacity
+    x = mats[0]
+    cap = x.panel_nb
+    k_pin = params.k_out or min(cap, 3 * alg.fill_bound(x, x))
+    k_pin = max(k_pin, *(m.k for m in mats))
+    return k_pin, tuple(pad_capacity(m, k_pin) for m in mats)
+
+
+def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
+    """TRS2 fused iterations (see _trs4_chunked)."""
+    import jax.numpy as jnp
+    from .common import run_chunked, select_matrix
+
+    thr = params.threshold
+    k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
+
+    def step(xc, whc, imatc):
+        tv = jnp.real(alg.trace(xc))
+        sigma = jnp.where(trace - tv < 0.0, -1.0, 1.0)
+        x2 = alg.matmul(xc, xc, threshold=thr)
+        x_hi = alg.increment(xc, x2, 2.0, -1.0, threshold=thr)
+        x_new = select_matrix(sigma > 0.0, x_hi, x2)
+        energy = jnp.real(alg.dot(x_new, whc))
+        return x_new, (energy, sigma)
+
+    return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
+                       k_pin=k_pin, aux_names=("Energy Value",))
+
+
+def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
+                  sigma_min, sigma_max):
+    """TRS4 iterations fused params.iters_per_sync at a time into one
+    compiled lax.scan (static shapes under a pinned capacity) — the
+    reference's per-iteration Allreduce convergence check becomes one
+    host sync per chunk.  The sigma clamp branches become whole-matrix
+    selects on the traced sigma scalar."""
+    import jax.numpy as jnp
+    from .common import run_chunked, select_matrix
+
+    thr = params.threshold
+    k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
+
+    def step(xc, whc, imatc):
+        x2 = alg.matmul(xc, xc, threshold=thr)
+        fx = alg.increment(x2, xc, -3.0, 4.0, threshold=thr)
+        gx = alg.increment(
+            alg.increment(imatc, xc, 1.0, -2.0, threshold=thr),
+            x2, 1.0, 1.0, threshold=thr)
+        trace_fx = jnp.real(alg.dot(x2, fx))
+        trace_gx = jnp.real(alg.dot(x2, gx))
+        sigma = jnp.where(jnp.abs(trace_gx) < 1e-14,
+                          0.5 * (sigma_max - sigma_min),
+                          (trace - trace_fx) / trace_gx)
+        poly = alg.increment(fx, gx, 1.0, sigma, threshold=thr)
+        x_mid = alg.matmul(x2, poly, threshold=thr)
+        x_hi = alg.increment(xc, x2, 2.0, -1.0, threshold=thr)
+        x_new = select_matrix(
+            sigma > sigma_max, x_hi,
+            select_matrix(sigma < sigma_min, x2, x_mid))
+        energy = jnp.real(alg.dot(x_new, whc))
+        return x_new, (energy, sigma)
+
+    return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
+                       k_pin=k_pin, aux_names=("Energy Value",))
 
 
 def trs4(h, isq, trace, params: SolverParameters | None = None):
@@ -172,40 +250,52 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
         x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
                           beta=e_max / (e_max - e_min))
 
-        energy = 0.0
-        total = 0
-        with iteration_log(params) as ilog:
-            for ii in range(params.max_iterations):
-                x2 = alg.matmul(x, x, threshold=params.threshold)
-                fx = alg.increment(x2, x, -3.0, 4.0,
-                                   threshold=params.threshold)  # 4X - 3X^2
-                gx = alg.increment(
-                    alg.increment(imat, x, 1.0, -2.0,
-                                  threshold=params.threshold),
-                    x2, 1.0, 1.0, threshold=params.threshold)  # I - 2X + X^2
-                trace_fx = real_scalar(alg.dot(x2, fx))
-                trace_gx = real_scalar(alg.dot(x2, gx))
-                if abs(trace_gx) < 1e-14:
-                    sigma = 0.5 * (sigma_max - sigma_min)
-                else:
-                    sigma = (trace - trace_fx) / trace_gx
-                sigmas.append(sigma)
-                if sigma > sigma_max:
-                    x = alg.increment(x, x2, 2.0, -1.0,
-                                      threshold=params.threshold)
-                elif sigma < sigma_min:
-                    x = x2
-                else:
-                    poly = alg.increment(fx, gx, 1.0, sigma,
-                                         threshold=params.threshold)
-                    x = alg.matmul(x2, poly, threshold=params.threshold)
-                energy_old = energy
-                energy = real_scalar(alg.dot(x, wh))
-                total = ii
-                monitor.append(energy - energy_old)
-                if monitor.check_converged(params.be_verbose):
-                    break
-                ilog.step(**{"Energy Value": energy})
+        if params.iters_per_sync > 1:
+            with iteration_log(params) as ilog:
+                x, history, total_1b = _trs4_chunked(
+                    x, wh, imat, trace, params, monitor, ilog,
+                    sigma_min, sigma_max)
+            energy = history[-1][0]
+            sigmas = [row[1] for row in history]
+            total = total_1b - 1
+        else:
+            energy = 0.0
+            total = 0
+            with iteration_log(params) as ilog:
+                for ii in range(params.max_iterations):
+                    x2 = alg.matmul(x, x, threshold=params.threshold)
+                    fx = alg.increment(
+                        x2, x, -3.0, 4.0,
+                        threshold=params.threshold)        # 4X - 3X^2
+                    gx = alg.increment(
+                        alg.increment(imat, x, 1.0, -2.0,
+                                      threshold=params.threshold),
+                        x2, 1.0, 1.0,
+                        threshold=params.threshold)        # I - 2X + X^2
+                    trace_fx = real_scalar(alg.dot(x2, fx))
+                    trace_gx = real_scalar(alg.dot(x2, gx))
+                    if abs(trace_gx) < 1e-14:
+                        sigma = 0.5 * (sigma_max - sigma_min)
+                    else:
+                        sigma = (trace - trace_fx) / trace_gx
+                    sigmas.append(sigma)
+                    if sigma > sigma_max:
+                        x = alg.increment(x, x2, 2.0, -1.0,
+                                          threshold=params.threshold)
+                    elif sigma < sigma_min:
+                        x = x2
+                    else:
+                        poly = alg.increment(fx, gx, 1.0, sigma,
+                                             threshold=params.threshold)
+                        x = alg.matmul(x2, poly,
+                                       threshold=params.threshold)
+                    energy_old = energy
+                    energy = real_scalar(alg.dot(x, wh))
+                    total = ii
+                    monitor.append(energy - energy_old)
+                    if monitor.check_converged(params.be_verbose):
+                        break
+                    ilog.step(**{"Energy Value": energy})
         finish_iterations(params, total + 1, x)
 
         x = maybe_unpermute(params, x)

@@ -18,6 +18,10 @@ def _hotelling(mat, params, monitor):
     balanced, imat = maybe_permute(params, mat, imat)
     sigma = real_scalar(alg.matrix_sigma(balanced))
     x = alg.scale(balanced, sigma)
+    if params.iters_per_sync > 1:
+        x, total = _hotelling_chunked(x, balanced, imat, params, monitor)
+        finish_iterations(params, total, x)
+        return maybe_unpermute(params, x)
     total = 0
     with iteration_log(params) as ilog:
         for ii in range(params.max_iterations):
@@ -37,6 +41,32 @@ def _hotelling(mat, params, monitor):
                                           value=norm_value)
     finish_iterations(params, total, x)
     return maybe_unpermute(params, x)
+
+
+def _hotelling_chunked(x, balanced, imat, params, monitor):
+    """Hotelling iterations fused into compiled lax.scan chunks (see
+    density._trs4_chunked for the pattern)."""
+    import jax.numpy as jnp
+    from .common import run_chunked, pad_capacity
+    from .density import _pin_capacity
+
+    thr = params.threshold
+    k_pin, (x, balp, imatp) = _pin_capacity(params, x, balanced, imat)
+
+    def step(xc, balc, imatc):
+        t1 = alg.matmul(xc, balc, threshold=thr)
+        norm_value = jnp.real(
+            alg.norm(alg.increment(imatc, t1, 1.0, -1.0)))
+        x_new = alg.increment(alg.scale(xc, 2.0),
+                              alg.matmul(t1, xc, threshold=thr),
+                              1.0, -1.0, threshold=thr)
+        return x_new, (norm_value,)
+
+    with iteration_log(params) as ilog:
+        x, _, total = run_chunked(
+            step, x, (balp, imatp), params, monitor, ilog,
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+    return x, total
 
 
 def invert(mat, params: SolverParameters | None = None):

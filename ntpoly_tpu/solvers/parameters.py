@@ -93,6 +93,11 @@ class SolverParameters:
     # TPU-native extensions (absent in the reference): block capacity policy.
     k_out: Optional[int] = None          # slots per block-row for results
     row_chunk: Optional[int] = None      # SpGEMM accumulator chunking
+    # Iterations fused into one compiled lax.scan between host syncs (1 =
+    # exact reference semantics: converge check every iteration).  Higher
+    # values amortize dispatch latency; the solve may overrun convergence
+    # by up to iters_per_sync - 1 harmless extra iterations.
+    iters_per_sync: int = 1
 
     def copy(self) -> "SolverParameters":
         return replace(self)

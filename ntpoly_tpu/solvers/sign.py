@@ -27,6 +27,10 @@ def _core(mat, params, monitor, needs_transpose: bool):
     xk = abs(e_min / e_max)
     out = alg.scale(out, 1.0 / abs(e_max))
 
+    if params.iters_per_sync > 1 and not needs_transpose:
+        out, total = _core_chunked(out, imat, xk, params, monitor)
+        finish_iterations(params, total + 1, out)
+        return maybe_unpermute(params, out)
     total = 0
     with iteration_log(params):
         for ii in range(params.max_iterations):
@@ -51,6 +55,36 @@ def _core(mat, params, monitor, needs_transpose: bool):
                 break
     finish_iterations(params, total + 1, out)
     return maybe_unpermute(params, out)
+
+
+def _core_chunked(out, imat, xk0, params, monitor):
+    """Scaled Newton-Schulz fused iterations: the alpha_k recurrence rides
+    in the scan carry as a traced scalar (see density._trs4_chunked)."""
+    import jax.numpy as jnp
+    from .common import run_chunked
+    from .density import _pin_capacity
+
+    thr = params.threshold
+    k_pin, (out, imatp) = _pin_capacity(params, out, imat)
+
+    def step(carry, imatc):
+        xc, xk = carry
+        alpha_k = jnp.minimum(jnp.sqrt(3.0 / (1.0 + xk + xk ** 2)),
+                              ALPHA_MAX)
+        xk_new = 0.5 * alpha_k * xk * (3.0 - alpha_k ** 2 * xk ** 2)
+        t1 = alg.matmul(xc, xc, alpha=-alpha_k ** 2, threshold=thr)
+        t1 = alg.increment(t1, imatc, 1.0, 3.0)
+        t2 = alg.matmul(xc, t1, alpha=0.5 * alpha_k, threshold=thr)
+        norm_value = jnp.real(
+            alg.norm(alg.increment(xc, t2, 1.0, -1.0)))
+        return (t2, xk_new), (norm_value,)
+
+    carry0 = (out, jnp.asarray(xk0, jnp.real(out.blocks).dtype))
+    with iteration_log(params) as ilog:
+        (out, _), _, total = run_chunked(
+            step, carry0, (imatp,), params, monitor, ilog,
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+    return out, total
 
 
 def sign_function(mat, params: SolverParameters | None = None):

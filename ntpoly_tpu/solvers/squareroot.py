@@ -41,29 +41,64 @@ def _ns_order2(mat, params, compute_inverse):
         z = identity_like(mat)                    # inverse square root
         y, imat, z = maybe_permute(params, y, imat, z)
 
-        total = 0
-        with iteration_log(params) as ilog:
-            for ii in range(params.max_iterations):
-                x = alg.matmul(y, z, threshold=params.threshold)
-                e_min, e_max = alg.gershgorin_bounds(x)
-                lam = 1.0 / max(abs(float(e_min)), abs(float(e_max)))
-                x = alg.scale(x, lam)
-                norm_value = real_scalar(
-                    alg.norm(alg.increment(imat, x, 1.0, -1.0)))
-                tk = alg.increment(imat, x, 3.0, -1.0)
-                tk = alg.scale(tk, 0.5)
-                sq = math.sqrt(lam)
-                z = alg.scale(alg.matmul(z, tk, threshold=params.threshold),
-                              sq)
-                y = alg.scale(alg.matmul(tk, y, threshold=params.threshold),
-                              sq)
-                total = ii
-                monitor.append(norm_value)
-                if monitor.check_converged(params.be_verbose):
-                    break
+        if params.iters_per_sync > 1:
+            y, z, total = _ns_order2_chunked(y, z, imat, params, monitor)
+        else:
+            total = 0
+            with iteration_log(params) as ilog:
+                for ii in range(params.max_iterations):
+                    x = alg.matmul(y, z, threshold=params.threshold)
+                    e_min, e_max = alg.gershgorin_bounds(x)
+                    lam = 1.0 / max(abs(float(e_min)), abs(float(e_max)))
+                    x = alg.scale(x, lam)
+                    norm_value = real_scalar(
+                        alg.norm(alg.increment(imat, x, 1.0, -1.0)))
+                    tk = alg.increment(imat, x, 3.0, -1.0)
+                    tk = alg.scale(tk, 0.5)
+                    sq = math.sqrt(lam)
+                    z = alg.scale(
+                        alg.matmul(z, tk, threshold=params.threshold), sq)
+                    y = alg.scale(
+                        alg.matmul(tk, y, threshold=params.threshold), sq)
+                    total = ii
+                    monitor.append(norm_value)
+                    if monitor.check_converged(params.be_verbose):
+                        break
         finish_iterations(params, total + 1, z if compute_inverse else y)
         out = z if compute_inverse else y
         return maybe_unpermute(params, out)
+
+
+def _ns_order2_chunked(y, z, imat, params, monitor):
+    """Coupled Newton-Schulz fused iterations; the per-iteration Gershgorin
+    rescale stays on device as traced scalars (see density._trs4_chunked
+    for the chunking pattern)."""
+    import jax.numpy as jnp
+    from .common import run_chunked
+    from .density import _pin_capacity
+
+    thr = params.threshold
+    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat)
+
+    def step(carry, imatc):
+        yc, zc = carry
+        x = alg.matmul(yc, zc, threshold=thr)
+        e_min, e_max = alg.gershgorin_bounds(x)
+        lam = 1.0 / jnp.maximum(jnp.abs(e_min), jnp.abs(e_max))
+        x = alg.scale(x, lam.astype(jnp.real(x.blocks).dtype))
+        norm_value = jnp.real(
+            alg.norm(alg.increment(imatc, x, 1.0, -1.0)))
+        tk = alg.scale(alg.increment(imatc, x, 3.0, -1.0), 0.5)
+        sq = jnp.sqrt(lam).astype(jnp.real(x.blocks).dtype)
+        z_new = alg.scale(alg.matmul(zc, tk, threshold=thr), sq)
+        y_new = alg.scale(alg.matmul(tk, yc, threshold=thr), sq)
+        return (y_new, z_new), (norm_value,)
+
+    with iteration_log(params) as ilog:
+        (y, z), _, total = run_chunked(
+            step, (y, z), (imatp,), params, monitor, ilog,
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+    return y, z, total
 
 
 def _ns_taylor(mat, params, order, compute_inverse):

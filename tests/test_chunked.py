@@ -1,0 +1,89 @@
+"""Chunked (scan-fused) solver iterations vs the eager reference path.
+
+iters_per_sync > 1 fuses iterations into one compiled lax.scan per host
+sync (the TPU dispatch-amortization mode); results must agree with the
+per-iteration path to solver tolerance.
+"""
+import numpy as np
+import pytest
+
+import ntpoly_tpu as nt
+from ntpoly_tpu.parallel import pmatrix as PM
+from ntpoly_tpu.parallel.grid import ProcessGrid
+from ntpoly_tpu.solvers import density, inverse, sign, squareroot
+from ntpoly_tpu.solvers.parameters import SolverParameters
+
+from conftest import rel_error
+
+DIM, BS = 96, 8
+
+
+@pytest.fixture
+def grid():
+    return ProcessGrid(2, 2, 2)
+
+
+def _system(rng, grid):
+    h = rng.random((DIM, DIM))
+    h = 0.5 * (h + h.T)
+    w, v = np.linalg.eigh(h)
+    w[DIM // 2:] += (w[-1] - w[0])
+    h = (v * w) @ v.T
+    s = rng.random((DIM, DIM))
+    s = 0.05 * (s @ s.T) + np.eye(DIM)
+    return (PM.from_dense(h, bs=BS, grid=grid),
+            PM.from_dense(s, bs=BS, grid=grid), h, s)
+
+
+def params(ips):
+    return SolverParameters(converge_diff=1e-9, threshold=1e-11,
+                            iters_per_sync=ips)
+
+
+@pytest.mark.parametrize("solver", ["trs2", "trs4"])
+def test_purification_chunked_matches_eager(rng, grid, solver):
+    hm, _, h, _ = _system(rng, grid)
+    isq = PM.identity(DIM, bs=BS, dtype=hm.dtype, grid=grid)
+    fn = getattr(density, solver)
+    r1, e1, mu1 = fn(hm, isq, float(DIM // 2), params(1))
+    r2, e2, mu2 = fn(hm, isq, float(DIM // 2), params(5))
+    assert abs(float(e1) - float(e2)) < 1e-6 * abs(float(e1))
+    assert rel_error(np.asarray(PM.to_dense(r2)),
+                     np.asarray(PM.to_dense(r1))) < 1e-6
+    # both chemical potentials must sit in the spectral gap
+    w = np.linalg.eigh(h)[0]
+    for mu in (mu1, mu2):
+        assert w[DIM // 2 - 1] < mu < w[DIM // 2]
+
+
+def test_hotelling_chunked_matches_eager(rng, grid):
+    _, sm, _, s = _system(rng, grid)
+    inv1 = inverse.invert(sm, params(1))
+    inv2 = inverse.invert(sm, params(5))
+    ref = np.linalg.inv(s)
+    assert rel_error(np.asarray(PM.to_dense(inv1)), ref) < 1e-8
+    assert rel_error(np.asarray(PM.to_dense(inv2)), ref) < 1e-8
+
+
+def test_isq_chunked_matches_eager(rng, grid):
+    import scipy.linalg as sla
+    _, sm, _, s = _system(rng, grid)
+    i1 = squareroot.inverse_square_root(sm, params(1), order=2)
+    i2 = squareroot.inverse_square_root(sm, params(5), order=2)
+    ref = sla.fractional_matrix_power(s, -0.5).real
+    assert rel_error(np.asarray(PM.to_dense(i1)), ref) < 1e-8
+    assert rel_error(np.asarray(PM.to_dense(i2)), ref) < 1e-8
+
+
+def test_sign_chunked_matches_eager(rng, grid):
+    import scipy.linalg as sla
+    hm, _, h, _ = _system(rng, grid)
+    hm = PM.from_dense(np.asarray(PM.to_dense(hm))
+                       - np.eye(DIM) * np.mean(np.linalg.eigh(h)[0]),
+                       bs=BS, grid=grid)
+    hd = np.asarray(PM.to_dense(hm))
+    s1 = sign.sign_function(hm, params(1))
+    s2 = sign.sign_function(hm, params(5))
+    ref = np.asarray(sla.signm(hd)).real
+    assert rel_error(np.asarray(PM.to_dense(s1)), ref) < 1e-7
+    assert rel_error(np.asarray(PM.to_dense(s2)), ref) < 1e-7

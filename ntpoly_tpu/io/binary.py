@@ -25,7 +25,10 @@ def _triplet_dtype(is_complex: bool):
 
 
 def write(mat: PM.PSMatrix, file_name: str):
-    r, c, v = PM.to_triplets(mat)
+    from ..parallel import dist
+    r, c, v = PM.to_triplets(mat)       # collective in multi-process runs
+    if dist.is_multiprocess() and dist.process_index() != 0:
+        return
     is_complex = bool(np.iscomplexobj(v))
     header = np.zeros(1, _HEADER_DTYPE)
     header["magic"], header["is_complex"] = MAGIC, is_complex
@@ -49,12 +52,38 @@ def read_triplets(file_name: str):
             recs["val"], int(header["rows"]))
 
 
+def read_triplets_range(file_name: str, rank: int, n_ranks: int):
+    """This rank's slice of the packed triplet records — fixed-size records
+    make byte ranges exact (the analogue of the reference's collective
+    binary read with the custom MPI triplet type,
+    PSMatrixModule.F90:574-693)."""
+    with open(file_name, "rb") as f:
+        header = np.fromfile(f, _HEADER_DTYPE, count=1)[0]
+        if header["magic"] != MAGIC:
+            raise ValueError(f"{file_name}: not an ntpoly_tpu binary file")
+        dt = _triplet_dtype(bool(header["is_complex"]))
+        nnz = int(header["nnz"])
+        lo = (nnz * rank) // n_ranks
+        hi = (nnz * (rank + 1)) // n_ranks
+        f.seek(_HEADER_DTYPE.itemsize + lo * dt.itemsize)
+        recs = np.fromfile(f, dt, count=hi - lo)
+    return (recs["row"].astype(np.int64), recs["col"].astype(np.int64),
+            recs["val"], int(header["rows"]))
+
+
 def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
          dtype=None) -> PM.PSMatrix:
-    i, j, v, dim = read_triplets(file_name)
+    from ..parallel import dist
+    if dist.is_multiprocess():
+        i, j, v, dim = read_triplets_range(
+            file_name, dist.process_index(), dist.process_count())
+        mode = "distributed"
+    else:
+        i, j, v, dim = read_triplets(file_name)
+        mode = "replicated"
     if dtype is None:
         from ..config import default_complex_dtype, default_real_dtype
         dtype = default_complex_dtype() if np.iscomplexobj(v) \
             else default_real_dtype()
     m = PM.empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
-    return PM.fill_from_triplets(m, i, j, v)
+    return PM.fill_from_triplets(m, i, j, v, mode=mode)

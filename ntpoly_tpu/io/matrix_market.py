@@ -87,20 +87,109 @@ def read_triplets_shape(file_name: str):
     raise ValueError(f"{file_name}: no size line")
 
 
+def _body_offset_and_size(file_name: str):
+    """Byte offset of the first data line, the (rows, cols) size, and the
+    symmetry/field codes."""
+    obj, fmt, field, symmetry = read_header(file_name)
+    if fmt != "coordinate":
+        raise ValueError("only coordinate MatrixMarket files are supported")
+    with open(file_name, "rb") as f:
+        f.readline()                              # header
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{file_name}: no size line")
+            s = line.strip()
+            if s and not s.startswith(b"%"):
+                parts = s.split()
+                return (f.tell(), int(parts[0]), int(parts[1]),
+                        field, symmetry)
+
+
+def read_triplets_range(file_name: str, rank: int, n_ranks: int):
+    """Parse only this rank's byte range of the MM body — the analogue of
+    the reference's MPI-IO read with line-boundary fix-up
+    (reference PSMatrixModule.F90:453-493).  Each line is parsed by
+    exactly one rank; symmetry expansion is applied locally."""
+    import os
+    body, n_rows, n_cols, field, symmetry = _body_offset_and_size(file_name)
+    total = os.path.getsize(file_name)
+    span = total - body
+    start = body + (span * rank) // n_ranks
+    end = body + (span * (rank + 1)) // n_ranks
+    with open(file_name, "rb") as f:
+        if start > body:
+            # line-boundary fix-up: skip the partial line at the start
+            # (owned by the previous rank, which reads past its end)
+            f.seek(start - 1)
+            f.readline()
+            start = f.tell()
+        f.seek(start)
+        raw = f.read(end - start)
+        if end < total and raw and not raw.endswith(b"\n"):
+            raw += f.readline()
+    lines = [s for s in (ln.strip() for ln in raw.splitlines())
+             if s and not s.startswith(b"%")]
+    body_bytes = b"\n".join(lines)
+    if not body_bytes:
+        i = j = np.zeros(0, np.int64)
+        v = np.zeros(0)
+    elif field == "pattern":
+        arr = np.array(body_bytes.split(), np.float64).reshape(-1, 2)
+        i, j = (arr[:, 0].astype(np.int64) - 1,
+                arr[:, 1].astype(np.int64) - 1)
+        v = np.ones(len(i))
+    elif field == "complex":
+        arr = np.array(body_bytes.split(), np.float64).reshape(-1, 4)
+        i, j = (arr[:, 0].astype(np.int64) - 1,
+                arr[:, 1].astype(np.int64) - 1)
+        v = arr[:, 2] + 1j * arr[:, 3]
+    else:
+        arr = np.array(body_bytes.split(), np.float64).reshape(-1, 3)
+        i, j = (arr[:, 0].astype(np.int64) - 1,
+                arr[:, 1].astype(np.int64) - 1)
+        v = arr[:, 2]
+    if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
+        off = i != j
+        io_, jo, vo = i[off], j[off], v[off]
+        if symmetry == "hermitian":
+            vo = np.conj(vo)
+        elif symmetry == "skew-symmetric":
+            vo = -vo
+        i = np.concatenate([i, jo])
+        j = np.concatenate([j, io_])
+        v = np.concatenate([v, vo])
+    return i, j, v, max(n_rows, n_cols)
+
+
 def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
          dtype=None) -> PM.PSMatrix:
-    i, j, v, dim = read_triplets(file_name)
+    """Multi-process runs read disjoint byte ranges per host and exchange
+    (reference parallel MM read, PSMatrixModule.F90:351-570); single
+    process parses the whole file (multithreaded in native C++)."""
+    from ..parallel import dist
+    if dist.is_multiprocess():
+        i, j, v, dim = read_triplets_range(
+            file_name, dist.process_index(), dist.process_count())
+        mode = "distributed"
+    else:
+        i, j, v, dim = read_triplets(file_name)
+        mode = "replicated"
     if dtype is None:
         from ..config import default_complex_dtype, default_real_dtype
         dtype = default_complex_dtype() if np.iscomplexobj(v) \
             else default_real_dtype()
     m = PM.empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
-    return PM.fill_from_triplets(m, i, j, v)
+    return PM.fill_from_triplets(m, i, j, v, mode=mode)
 
 
 def write(mat: PM.PSMatrix, file_name: str):
-    """Write coordinate-general MM (reference WriteMatrixToMatrixMarket)."""
+    """Write coordinate-general MM (reference WriteMatrixToMatrixMarket).
+    Multi-process: the gather is collective, the write is root-only."""
+    from ..parallel import dist
     r, c, v = PM.to_triplets(mat)
+    if dist.is_multiprocess() and dist.process_index() != 0:
+        return
     is_complex = np.iscomplexobj(v)
     field = "complex" if is_complex else "real"
     with open(file_name, "wb") as f:

@@ -1,0 +1,98 @@
+"""Multi-process (multi-host) runtime support.
+
+The reference scales across hosts with MPI: alltoallv triplet
+redistribution on fill (reference distributed_includes/
+FillMatrixFromTripletList.f90:25-46) and MPI-IO byte ranges on read
+(reference PSMatrixModule.F90:351-570).  The TPU-native equivalents here:
+
+  * :func:`initialize` — `jax.distributed` bootstrap (one controller per
+    host; devices of all hosts form one global mesh, collectives ride
+    ICI/DCN).
+  * triplet exchange — padded `process_allgather` over the host network
+    (every host ends with the union; the 'prepartitioned' fill mode skips
+    the exchange entirely when each host already owns its panel's data,
+    which is the scalable path, matching the reference's prepartitioned
+    flag FillMatrixFromTripletList.f90:14-24).
+  * :func:`shard_global` — build a sharded device array where each process
+    materializes only its addressable shards
+    (`jax.make_array_from_callback`).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+__all__ = ["initialize", "process_count", "process_index",
+           "is_multiprocess", "shard_global", "allgather_triplets",
+           "host_value"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bootstrap the multi-process runtime (env-driven defaults: JAX reads
+    COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID or the cloud TPU
+    metadata when arguments are omitted)."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def shard_global(np_array: np.ndarray, sharding) -> jax.Array:
+    """Place a (host-side) array under ``sharding``.
+
+    Single-process: plain device_put.  Multi-process: each process
+    materializes only its addressable shards via make_array_from_callback —
+    the per-host array needs to be correct only in this host's regions."""
+    if not is_multiprocess():
+        return jax.device_put(np_array, sharding)
+    return jax.make_array_from_callback(
+        np_array.shape, sharding, lambda idx: np_array[idx])
+
+
+def allgather_triplets(rows, cols, vals):
+    """Union of every process's (rows, cols, vals) triplet arrays.
+
+    The host-network exchange behind the 'distributed' fill mode: ragged
+    per-process counts are padded to the max and gathered.  O(total nnz)
+    per host — use the 'prepartitioned' fill mode for the O(nnz/P) path.
+    """
+    if not is_multiprocess():
+        return rows, cols, vals
+    from jax.experimental import multihost_utils as mhu
+
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    counts = np.asarray(mhu.process_allgather(
+        np.asarray([len(rows)], np.int64))).reshape(-1)
+    maxn = int(counts.max())
+    pad = maxn - len(rows)
+    packed = np.zeros((maxn, 2), np.int64)
+    packed[:len(rows), 0] = rows
+    packed[:len(rows), 1] = cols
+    vpad = np.pad(vals, (0, pad))
+    gi = np.asarray(mhu.process_allgather(packed))      # [P, maxn, 2]
+    gv = np.asarray(mhu.process_allgather(vpad))        # [P, maxn]
+    keep = np.arange(maxn)[None, :] < counts[:, None]
+    return (gi[..., 0][keep], gi[..., 1][keep], gv[keep])
+
+
+def host_value(x) -> np.ndarray:
+    """Read a fully-replicated global array back to the host (works in
+    single- and multi-process runs)."""
+    return np.asarray(x)

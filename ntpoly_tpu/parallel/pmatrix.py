@@ -98,8 +98,10 @@ def geometry(dim: int, bs: int, grid: ProcessGrid):
 
 
 def _shard(grid: ProcessGrid, col_ids, blocks):
+    from . import dist
     sh = grid.matrix_sharding
-    return (jax.device_put(col_ids, sh), jax.device_put(blocks, sh))
+    return (dist.shard_global(np.asarray(col_ids), sh),
+            dist.shard_global(np.asarray(blocks), sh))
 
 
 def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
@@ -123,15 +125,29 @@ def identity(dim: int, *, bs: int, k: int | None = None, dtype=None,
     return fill_from_triplets(m, i, i, np.full(dim, scale, m.dtype))
 
 
-def fill_from_triplets(m: PSMatrix, rows, cols, vals) -> PSMatrix:
-    """Build the block-ELL panels from global (i, j, v) triplets (host side).
+def fill_from_triplets(m: PSMatrix, rows, cols, vals,
+                       mode: str = "replicated") -> PSMatrix:
+    """Build the block-ELL panels from global (i, j, v) triplets.
 
     Replaces NTPoly's FillMatrixFromTripletList alltoallv redistribution
     (reference Source/Fortran/distributed_includes/
-    FillMatrixFromTripletList.f90)
-    with a host-side construction + device_put under the mesh sharding.
-    Duplicate coordinates are summed.
+    FillMatrixFromTripletList.f90) with host-side construction sharded onto
+    the mesh.  Duplicate coordinates are summed.
+
+    Multi-process modes (single-process runs ignore ``mode``):
+      'replicated'     — every process passes the SAME full triplet set
+                         (each builds its own shards; no exchange).
+      'distributed'    — processes pass disjoint subsets (e.g. from
+                         byte-range file reads); exchanged host-side
+                         first (reference alltoallv).
+      'prepartitioned' — each process passes exactly the triplets its own
+                         shards store; no exchange, O(nnz/P) per host
+                         (reference prepartitioned flag,
+                         FillMatrixFromTripletList.f90:14-24).
     """
+    from . import dist
+    if mode == "distributed" and dist.is_multiprocess():
+        rows, cols, vals = dist.allgather_triplets(rows, cols, vals)
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
@@ -157,6 +173,11 @@ def fill_from_triplets(m: PSMatrix, rows, cols, vals) -> PSMatrix:
     start = np.maximum.accumulate(np.where(first, np.arange(nub), 0))
     slot = np.arange(nub) - start
     k_needed = int(slot.max()) + 1 if nub else 1
+    if mode == "prepartitioned" and dist.is_multiprocess():
+        # capacity must agree across processes (it is a static shape)
+        from jax.experimental import multihost_utils as mhu
+        k_needed = int(np.max(mhu.process_allgather(
+            np.asarray([k_needed], np.int64))))
     k = max(m.k, k_needed)
     col_ids = np.full((m.panels, nb, k), EMPTY, np.int32)
     out_blocks = np.zeros((m.panels, nb, k, bs, bs), m.dtype)
@@ -186,8 +207,18 @@ def to_dense(m: PSMatrix, actual: bool = True) -> jax.Array:
     return d[:m.dim, :m.dim] if actual else d
 
 
-def to_triplets(m: PSMatrix):
-    """PSMatrix -> (rows, cols, vals) numpy triplets of stored nonzeros."""
+def to_triplets(m: PSMatrix, local: bool = False):
+    """PSMatrix -> (rows, cols, vals) numpy triplets of stored nonzeros.
+
+    Multi-process: gathers each host's addressable shards, then the union
+    over hosts (``local=True`` skips the union, returning only this host's
+    triplets — the counterpart of the 'prepartitioned' fill mode)."""
+    from . import dist
+    if dist.is_multiprocess():
+        r, c, v = _local_shard_triplets(m)
+        if local:
+            return r, c, v
+        return dist.allgather_triplets(r, c, v)
     cid = np.asarray(m.col_ids)
     blk = np.asarray(m.blocks)
     P, NB, K, bs, _ = blk.shape
@@ -198,6 +229,35 @@ def to_triplets(m: PSMatrix):
     vals = blk[pp, rr, kk, ii, jj]
     keep = (rows < m.dim) & (cols < m.dim)
     return rows[keep], cols[keep], vals[keep]
+
+
+def _local_shard_triplets(m: PSMatrix):
+    """Triplets stored in this process's addressable shards (deduplicated —
+    'slices' replication makes several devices hold the same panel)."""
+    seen = set()
+    out_r, out_c, out_v = [], [], []
+    for cid_sh, blk_sh in zip(m.col_ids.addressable_shards,
+                              m.blocks.addressable_shards):
+        key = (cid_sh.index[0].start, cid_sh.index[1].start)
+        if key in seen:
+            continue
+        seen.add(key)
+        cid = np.asarray(cid_sh.data)
+        blk = np.asarray(blk_sh.data)
+        r0 = (cid_sh.index[1].start or 0)
+        bs = m.bs
+        pp, rr, kk, ii, jj = np.nonzero(blk != 0)
+        bj = cid[pp, rr, kk]
+        rows = (rr + r0) * bs + ii
+        cols = bj * bs + jj
+        vals = blk[pp, rr, kk, ii, jj]
+        keep = (rows < m.dim) & (cols < m.dim)
+        out_r.append(rows[keep])
+        out_c.append(cols[keep])
+        out_v.append(vals[keep])
+    return (np.concatenate(out_r) if out_r else np.zeros(0, np.int64),
+            np.concatenate(out_c) if out_c else np.zeros(0, np.int64),
+            np.concatenate(out_v) if out_v else np.zeros(0))
 
 
 def resize(m: PSMatrix, new_dim: int) -> PSMatrix:

@@ -1,0 +1,50 @@
+"""Worker for the multi-process (multi-host emulation) test.
+
+Each OS process drives 4 CPU devices; together they form one 8-device
+global mesh.  The worker reads its byte range of a premade MM file,
+fills distributedly, runs TRS4 to convergence, and prints the energy —
+the parent asserts agreement with the single-process result.
+
+Usage: python _multihost_worker.py <pid> <nproc> <workdir>
+"""
+import os
+import sys
+
+pid, nproc, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from ntpoly_tpu.parallel import dist  # noqa: E402
+
+dist.initialize(coordinator_address="127.0.0.1:29517",
+                num_processes=nproc, process_id=pid)
+assert dist.is_multiprocess()
+
+from ntpoly_tpu.io import matrix_market as mm  # noqa: E402
+from ntpoly_tpu.parallel import pmatrix as PM  # noqa: E402
+from ntpoly_tpu.parallel.grid import ProcessGrid  # noqa: E402
+from ntpoly_tpu.solvers import density  # noqa: E402
+from ntpoly_tpu.solvers.parameters import SolverParameters  # noqa: E402
+
+grid = ProcessGrid(2, 2, 2)           # all 8 global devices, 2 processes
+h = mm.read(os.path.join(workdir, "h.mtx"), bs=16, grid=grid)
+isq = PM.identity(h.dim, bs=16, dtype=h.dtype, grid=grid)
+params = SolverParameters(converge_diff=1e-9, threshold=1e-11,
+                          iters_per_sync=4)
+rho, energy, mu = density.trs4(h, isq, float(h.dim // 2), params)
+
+# write-back exercises the collective gather + root-only write
+rho_path = os.path.join(workdir, "rho_mh.mtx")
+mm.write(rho, rho_path)
+
+print(f"MHENERGY {pid} {float(energy):.12f} {float(mu):.8f}", flush=True)

@@ -1,0 +1,129 @@
+"""Multi-process data path: byte-range IO + distributed fill + solve.
+
+Two OS processes x 4 CPU devices form one 8-device global mesh (the
+emulation of a 2-host TPU pod slice).  Each process parses only its byte
+range of the Matrix Market file (reference MPI-IO read,
+PSMatrixModule.F90:351-570), the triplets are exchanged (reference
+alltoallv fill, distributed_includes/FillMatrixFromTripletList.f90), and
+TRS4 runs to convergence over the global mesh.  The energy must match a
+single-process solve of the same file.
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _make_system(workdir, rng, dim=64):
+    h = rng.random((dim, dim))
+    h = 0.5 * (h + h.T)
+    w, v = np.linalg.eigh(h)
+    w[dim // 2:] += (w[-1] - w[0])
+    h = (v * w) @ v.T
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    mmwrite(str(workdir / "h.mtx"), csr_matrix(h))
+    occ = v[:, :dim // 2]
+    return w[:dim // 2].sum(), occ @ occ.T
+
+
+def test_two_process_mesh_trs4(tmp_path, rng):
+    e_ref, rho_ref = _make_system(tmp_path, rng)
+    env = dict(os.environ)
+    # process-level: sitecustomize initializes the backend at interpreter
+    # startup, before the worker script runs
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "_multihost_worker.py"),
+             str(pid), "2", str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=570)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    energies = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MHENERGY"):
+                _, pid, e, mu = line.split()
+                energies[int(pid)] = float(e)
+    assert len(energies) == 2, outs
+    assert abs(energies[0] - energies[1]) < 1e-9
+    assert abs(energies[0] - e_ref) < 1e-6 * abs(e_ref)
+    # the root-only collective write-back must carry the full density
+    from scipy.io import mmread
+    rho = np.asarray(mmread(str(tmp_path / "rho_mh.mtx")).todense())
+    assert (np.linalg.norm(rho - rho_ref) / np.linalg.norm(rho_ref)) < 1e-6
+
+
+def test_byte_range_read_partitions_exactly(tmp_path, rng):
+    """Union of all ranks' byte-range parses == the whole file, each line
+    exactly once (single-process check of the range logic)."""
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    from ntpoly_tpu.io import matrix_market as mm
+    dim = 37
+    m = rng.random((dim, dim)) * (rng.random((dim, dim)) < 0.3)
+    mmwrite(str(tmp_path / "m.mtx"), csr_matrix(m))
+    whole = mm.read_triplets(str(tmp_path / "m.mtx"))
+    for n_ranks in (1, 2, 3, 5):
+        parts = [mm.read_triplets_range(str(tmp_path / "m.mtx"), r, n_ranks)
+                 for r in range(n_ranks)]
+        i = np.concatenate([p[0] for p in parts])
+        j = np.concatenate([p[1] for p in parts])
+        v = np.concatenate([p[2] for p in parts])
+        assert len(i) == len(whole[0])
+        got = sorted(zip(i.tolist(), j.tolist(), v.tolist()))
+        ref = sorted(zip(whole[0].tolist(), whole[1].tolist(),
+                         whole[2].tolist()))
+        # native strtod vs numpy float parse may differ in the last ulp
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ref]
+        assert np.allclose([x for _, _, x in got],
+                           [x for _, _, x in ref], rtol=1e-14)
+
+
+def test_binary_range_read_partitions_exactly(tmp_path, rng):
+    from ntpoly_tpu.io import binary
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    dim = 29
+    m = rng.random((dim, dim)) * (rng.random((dim, dim)) < 0.4)
+    mat = PM.from_dense(m, bs=4, grid=ProcessGrid(1, 1, 1))
+    binary.write(mat, str(tmp_path / "m.bin"))
+    whole = binary.read_triplets(str(tmp_path / "m.bin"))
+    for n_ranks in (2, 4):
+        parts = [binary.read_triplets_range(str(tmp_path / "m.bin"),
+                                            r, n_ranks)
+                 for r in range(n_ranks)]
+        i = np.concatenate([p[0] for p in parts])
+        assert len(i) == len(whole[0])
+
+
+def test_prepartitioned_fill_single_process(rng):
+    """mode='prepartitioned' with the full set in one process equals the
+    replicated fill (the multi-process path shares this code)."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from conftest import rel_error
+    dim = 24
+    m = rng.random((dim, dim)) * (rng.random((dim, dim)) < 0.4)
+    i, j = np.nonzero(m)
+    grid = ProcessGrid(2, 2, 1)
+    base = PM.empty(dim, bs=4, grid=grid, k=1)
+    a = PM.fill_from_triplets(base, i, j, m[i, j], mode="prepartitioned")
+    b = PM.fill_from_triplets(base, i, j, m[i, j])
+    assert rel_error(np.asarray(PM.to_dense(a)),
+                     np.asarray(PM.to_dense(b))) == 0

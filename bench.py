@@ -164,13 +164,9 @@ def bench_complex_isq_sign(grid, on_cpu):
     if on_cpu:
         s = _fill(dim, bs, grid, i, j, vals)
     else:
-        # real 2x2 embedding: (i,j,a+ib) -> blocks [[a,-b],[b,a]]
-        re, im = vals.real.astype(np.float32), vals.imag.astype(np.float32)
-        i2 = np.concatenate([i, i, i + dim, i + dim])
-        j2 = np.concatenate([j, j + dim, j, j + dim])
-        v2 = np.concatenate([re, -im, im, re])
-        keep = v2 != 0
-        s = _fill(2 * dim, bs, grid, i2[keep], j2[keep], v2[keep])
+        from ntpoly_tpu.core import cplx
+        i2, j2, v2, dim2 = cplx.embed_triplets(i, j, vals, dim)
+        s = _fill(dim2, bs, grid, i2, j2, v2.astype(np.float32))
     params = SolverParameters(converge_diff=1e-6, threshold=1e-9,
                               k_out=min(s.panel_nb, 8 * s.k))
     t0 = time.perf_counter()

@@ -798,6 +798,23 @@ class MatrixConversion:
         Mat._m = _maps.snap_to_sparsity_pattern(Mat._m, Pattern._m)
 
 
+class ComplexEmbedding:
+    """TPU extension: complex matrices as their real 2x2 embedding
+    E(A + iB) = [[A, -B], [B, A]] (core/cplx.py).  E is a ring
+    homomorphism, so f(E(C)) = E(f(C)) for every solver here — the
+    supported route for complex data on real-only accelerator backends."""
+
+    @staticmethod
+    def Embed(InMat, OutMat):
+        from .core import cplx
+        OutMat._m = cplx.embed(InMat._m)
+
+    @staticmethod
+    def Extract(InMat, OutMat):
+        from .core import cplx
+        OutMat._m = cplx.extract(InMat._m)
+
+
 # ----------------------------------------------------------------------------
 # Polynomial objects (methods mirror the C++ member functions)
 # ----------------------------------------------------------------------------

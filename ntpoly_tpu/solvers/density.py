@@ -60,34 +60,44 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
         x = alg.increment(wh, imat, alpha=-alpha / n,
                           beta=(alpha * lam + trace) / n)
 
-        energy = 0.0
-        total = 0
-        with iteration_log(params) as ilog:
-            for ii in range(params.max_iterations):
-                x2 = alg.matmul(x, x, threshold=params.threshold)
-                x3 = alg.matmul(x, x2, threshold=params.threshold)
-                tmp = alg.increment(x, x2, 1.0, -1.0,
-                                    threshold=params.threshold)  # X - X^2
-                tv = real_scalar(alg.trace(tmp))
-                tv2 = real_scalar(alg.dot(tmp, x))
-                sigma = 1.0 if tv <= 1e-300 else tv2 / tv
-                sigmas.append(sigma)
-                if sigma > 0.5:
-                    a1, a2, a3 = 0.0, 1.0 + 1.0 / sigma, -1.0 / sigma
-                else:
-                    a1 = (1.0 - 2.0 * sigma) / (1.0 - sigma)
-                    a2 = (1.0 + sigma) / (1.0 - sigma)
-                    a3 = -1.0 / (1.0 - sigma)
-                x = alg.increment(alg.increment(x, x2, a1, a2,
-                                                threshold=params.threshold),
-                                  x3, 1.0, a3, threshold=params.threshold)
-                energy_old = energy
-                energy = real_scalar(alg.dot(x, wh))
-                total = ii
-                monitor.append(energy - energy_old)
-                if monitor.check_converged(params.be_verbose):
-                    break
-                ilog.step(**{"Energy Value": energy})
+        if params.iters_per_sync > 1:
+            with iteration_log(params) as ilog:
+                x, history, total_1b = _pm_chunked(
+                    x, wh, imat, params, monitor, ilog)
+            energy = history[-1][0]
+            sigmas = [row[1] for row in history]
+            total = total_1b - 1
+        else:
+            energy = 0.0
+            total = 0
+            with iteration_log(params) as ilog:
+                for ii in range(params.max_iterations):
+                    x2 = alg.matmul(x, x, threshold=params.threshold)
+                    x3 = alg.matmul(x, x2, threshold=params.threshold)
+                    tmp = alg.increment(
+                        x, x2, 1.0, -1.0,
+                        threshold=params.threshold)       # X - X^2
+                    tv = real_scalar(alg.trace(tmp))
+                    tv2 = real_scalar(alg.dot(tmp, x))
+                    sigma = 1.0 if tv <= 1e-300 else tv2 / tv
+                    sigmas.append(sigma)
+                    if sigma > 0.5:
+                        a1, a2, a3 = 0.0, 1.0 + 1.0 / sigma, -1.0 / sigma
+                    else:
+                        a1 = (1.0 - 2.0 * sigma) / (1.0 - sigma)
+                        a2 = (1.0 + sigma) / (1.0 - sigma)
+                        a3 = -1.0 / (1.0 - sigma)
+                    x = alg.increment(
+                        alg.increment(x, x2, a1, a2,
+                                      threshold=params.threshold),
+                        x3, 1.0, a3, threshold=params.threshold)
+                    energy_old = energy
+                    energy = real_scalar(alg.dot(x, wh))
+                    total = ii
+                    monitor.append(energy - energy_old)
+                    if monitor.check_converged(params.be_verbose):
+                        break
+                    ilog.step(**{"Energy Value": energy})
         finish_iterations(params, total + 1, x)
 
         x = maybe_unpermute(params, x)
@@ -173,6 +183,64 @@ def _pin_capacity(params, *mats):
     k_pin = params.k_out or min(cap, 3 * alg.fill_bound(x, x))
     k_pin = max(k_pin, *(m.k for m in mats))
     return k_pin, tuple(pad_capacity(m, k_pin) for m in mats)
+
+
+def _pm_chunked(x, wh, imat, params, monitor, ilog):
+    """PM fused iterations (see _trs4_chunked): the sigma branch picks
+    traced polynomial coefficients via jnp.where."""
+    import jax.numpy as jnp
+    from .common import run_chunked
+
+    thr = params.threshold
+    k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
+
+    def step(xc, whc, imatc):
+        x2 = alg.matmul(xc, xc, threshold=thr)
+        x3 = alg.matmul(xc, x2, threshold=thr)
+        tmp = alg.increment(xc, x2, 1.0, -1.0, threshold=thr)
+        tv = jnp.real(alg.trace(tmp))
+        tv2 = jnp.real(alg.dot(tmp, xc))
+        sigma = jnp.where(tv <= 1e-300, 1.0, tv2 / jnp.where(
+            tv <= 1e-300, 1.0, tv))
+        hi = sigma > 0.5
+        a1 = jnp.where(hi, 0.0, (1.0 - 2.0 * sigma) / (1.0 - sigma))
+        a2 = jnp.where(hi, 1.0 + 1.0 / sigma,
+                       (1.0 + sigma) / (1.0 - sigma))
+        a3 = jnp.where(hi, -1.0 / sigma, -1.0 / (1.0 - sigma))
+        x_new = alg.increment(
+            alg.increment(xc, x2, a1, a2, threshold=thr),
+            x3, 1.0, a3, threshold=thr)
+        energy = jnp.real(alg.dot(x_new, whc))
+        return x_new, (energy, sigma)
+
+    return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
+                       k_pin=k_pin, aux_names=("Energy Value",))
+
+
+def _hpcp_chunked(d1, wh, imat, params, monitor, ilog):
+    """HPCP fused iterations (see _trs4_chunked)."""
+    import jax.numpy as jnp
+    from .common import run_chunked
+
+    thr = params.threshold
+    k_pin, (d1, whp, imatp) = _pin_capacity(params, d1, wh, imat)
+
+    def step(dc, whc, imatc):
+        dh = alg.increment(imatc, dc, 1.0, -1.0, threshold=thr)
+        ddh = alg.matmul(dc, dh, threshold=thr)
+        tv = jnp.real(alg.trace(ddh))
+        d2dh = alg.matmul(dc, ddh, threshold=thr)
+        s = jnp.where(tv == 0, 0.0,
+                      jnp.real(alg.trace(d2dh))
+                      / jnp.where(tv == 0, 1.0, tv))
+        d_new = alg.increment(
+            alg.increment(dc, d2dh, 1.0, 2.0, threshold=thr),
+            ddh, 1.0, -2.0 * s, threshold=thr)
+        energy = jnp.real(alg.dot(d_new, whc))
+        return d_new, (energy, s)
+
+    return run_chunked(step, d1, (whp, imatp), params, monitor, ilog,
+                       k_pin=k_pin, aux_names=("Energy Value",))
 
 
 def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
@@ -342,28 +410,37 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
         d1 = alg.increment(imat, alg.increment(imat, wh, mu_bar, -1.0),
                            beta_1, beta_2)
 
-        energy = 0.0
-        total = 0
-        with iteration_log(params) as ilog:
-            for ii in range(params.max_iterations):
-                dh = alg.increment(imat, d1, 1.0, -1.0,
-                                   threshold=params.threshold)  # I - D1
-                ddh = alg.matmul(d1, dh, threshold=params.threshold)
-                tv = real_scalar(alg.trace(ddh))
-                d2dh = alg.matmul(d1, ddh, threshold=params.threshold)
-                s = real_scalar(alg.trace(d2dh)) / tv if tv != 0 else 0.0
-                sigmas.append(s)
-                d1 = alg.increment(
-                    alg.increment(d1, d2dh, 1.0, 2.0,
-                                  threshold=params.threshold),
-                    ddh, 1.0, -2.0 * s, threshold=params.threshold)
-                energy_old = energy
-                energy = real_scalar(alg.dot(d1, wh))
-                total = ii
-                monitor.append(energy - energy_old)
-                if monitor.check_converged(params.be_verbose):
-                    break
-                ilog.step(**{"Energy Value": energy})
+        if params.iters_per_sync > 1:
+            with iteration_log(params) as ilog:
+                d1, history, total_1b = _hpcp_chunked(
+                    d1, wh, imat, params, monitor, ilog)
+            energy = history[-1][0]
+            sigmas = [row[1] for row in history]
+            total = total_1b - 1
+        else:
+            energy = 0.0
+            total = 0
+            with iteration_log(params) as ilog:
+                for ii in range(params.max_iterations):
+                    dh = alg.increment(imat, d1, 1.0, -1.0,
+                                       threshold=params.threshold)
+                    ddh = alg.matmul(d1, dh, threshold=params.threshold)
+                    tv = real_scalar(alg.trace(ddh))
+                    d2dh = alg.matmul(d1, ddh, threshold=params.threshold)
+                    s = real_scalar(alg.trace(d2dh)) / tv if tv != 0 \
+                        else 0.0
+                    sigmas.append(s)
+                    d1 = alg.increment(
+                        alg.increment(d1, d2dh, 1.0, 2.0,
+                                      threshold=params.threshold),
+                        ddh, 1.0, -2.0 * s, threshold=params.threshold)
+                    energy_old = energy
+                    energy = real_scalar(alg.dot(d1, wh))
+                    total = ii
+                    monitor.append(energy - energy_old)
+                    if monitor.check_converged(params.be_verbose):
+                        break
+                    ilog.step(**{"Energy Value": energy})
         finish_iterations(params, total + 1, d1)
 
         d1 = maybe_unpermute(params, d1)

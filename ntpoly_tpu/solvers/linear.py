@@ -32,6 +32,11 @@ def cg_solver(amat, bmat, params: SolverParameters | None = None):
                           1.0, -1.0)
         p = r
 
+        if params.iters_per_sync > 1:
+            x, total = _cg_chunked(x, r, p, ab, params, monitor)
+            finish_iterations(params, total + 1, x)
+            return maybe_unpermute(params, x)
+
         total = 0
         with iteration_log(params):
             for ii in range(params.max_iterations):
@@ -50,6 +55,35 @@ def cg_solver(amat, bmat, params: SolverParameters | None = None):
                     break
         finish_iterations(params, total + 1, x)
         return maybe_unpermute(params, x)
+
+
+def _cg_chunked(x, r, p, ab, params, monitor):
+    """CG fused iterations (see density._trs4_chunked): the x/r/p triple
+    rides in the scan carry."""
+    from .common import run_chunked
+    from .density import _pin_capacity
+
+    thr = params.threshold
+    k_pin, (x, r, p, abp) = _pin_capacity(params, x, r, p, ab)
+
+    def step(carry, abc):
+        xc, rc, pc = carry
+        q = alg.matmul(abc, pc, threshold=thr)
+        top = jnp.real(alg.dot(rc, rc))
+        bottom = jnp.real(alg.dot(pc, q))
+        step_sz = top / bottom
+        x_new = alg.increment(xc, pc, 1.0, step_sz)
+        norm_value = jnp.abs(step_sz * jnp.real(alg.norm(pc)))
+        r_new = alg.increment(rc, q, 1.0, -step_sz)
+        new_top = jnp.real(alg.dot(r_new, r_new))
+        p_new = alg.increment(r_new, pc, 1.0, new_top / top)
+        return (x_new, r_new, p_new), (norm_value,)
+
+    with iteration_log(params) as ilog:
+        (x, _, _), _, total = run_chunked(
+            step, (x, r, p), (abp,), params, monitor, ilog,
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+    return x, total
 
 
 def cholesky_decomposition(amat, params: SolverParameters | None = None):

@@ -28,6 +28,8 @@ def inverse_square_root(mat, params: SolverParameters | None = None,
 def _selector(mat, params, compute_inverse: bool, order: int):
     if order == 2:
         return _ns_order2(mat, params, compute_inverse)
+    if order not in (3, 5):
+        raise ValueError(f"unsupported Taylor order {order}")
     return _ns_taylor(mat, params, order, compute_inverse)
 
 
@@ -114,6 +116,15 @@ def _ns_taylor(mat, params, order, compute_inverse):
         z = identity_like(mat)
         y, imat, z = maybe_permute(params, y, imat, z)
 
+        if params.iters_per_sync > 1:
+            y, z, total = _ns_taylor_chunked(y, z, imat, order, params,
+                                             monitor)
+            finish_iterations(params, total + 1,
+                              z if compute_inverse else y)
+            sq = math.sqrt(lam)
+            out = alg.scale(z, sq) if compute_inverse \
+                else alg.scale(y, 1.0 / sq)
+            return maybe_unpermute(params, out)
         total = 0
         with iteration_log(params):
             for ii in range(params.max_iterations):
@@ -121,28 +132,7 @@ def _ns_taylor(mat, params, order, compute_inverse):
                     alg.matmul(z, y, threshold=params.threshold),
                     imat, 1.0, -1.0)
                 norm_value = real_scalar(alg.norm(x))
-                if order == 3:
-                    x2 = alg.matmul(x, x, threshold=params.threshold)
-                    x = alg.increment(
-                        alg.increment(imat, x, 1.0, -0.5), x2, 1.0, 0.375)
-                elif order == 5:
-                    aa, bb = -40.0 / 35.0, 48.0 / 35.0
-                    cc, dd = -64.0 / 35.0, 128.0 / 35.0
-                    a = (aa - 1.0) / 2.0
-                    b = bb * (a + 1.0) - cc - a * (a + 1.0) ** 2
-                    c = bb - b - a * (a + 1.0)
-                    d = dd - b * c
-                    x2 = alg.matmul(x, x, threshold=params.threshold)
-                    t = alg.increment(x2, x, 1.0, a)        # X^2 + aX
-                    t2 = alg.increment(alg.increment(
-                        alg.scale(imat, b), x), t, 1.0, 1.0)
-                    t = alg.increment(t, imat, 1.0, c)
-                    x = alg.increment(
-                        alg.matmul(t2, t, threshold=params.threshold),
-                        imat, 1.0, d)
-                    x = alg.scale(x, 35.0 / 128.0)
-                else:
-                    raise ValueError(f"unsupported Taylor order {order}")
+                x = _taylor_update(x, imat, order, params.threshold)
                 z = alg.matmul(x, z, threshold=params.threshold)
                 y = alg.matmul(y, x, threshold=params.threshold)
                 total = ii
@@ -153,6 +143,54 @@ def _ns_taylor(mat, params, order, compute_inverse):
         sq = math.sqrt(lam)
         out = alg.scale(z, sq) if compute_inverse else alg.scale(y, 1.0 / sq)
         return maybe_unpermute(params, out)
+
+
+def _taylor_update(x, imat, order, thr):
+    """The order-3/5 Taylor polynomial of the NS correction (shared by the
+    eager and chunked paths; reference SquareRootSolversModule.F90:342-549).
+    """
+    if order == 3:
+        x2 = alg.matmul(x, x, threshold=thr)
+        return alg.increment(
+            alg.increment(imat, x, 1.0, -0.5), x2, 1.0, 0.375)
+    aa, bb = -40.0 / 35.0, 48.0 / 35.0
+    cc, dd = -64.0 / 35.0, 128.0 / 35.0
+    a = (aa - 1.0) / 2.0
+    b = bb * (a + 1.0) - cc - a * (a + 1.0) ** 2
+    c = bb - b - a * (a + 1.0)
+    d = dd - b * c
+    x2 = alg.matmul(x, x, threshold=thr)
+    t = alg.increment(x2, x, 1.0, a)
+    t2 = alg.increment(alg.increment(alg.scale(imat, b), x), t, 1.0, 1.0)
+    t = alg.increment(t, imat, 1.0, c)
+    x = alg.increment(alg.matmul(t2, t, threshold=thr), imat, 1.0, d)
+    return alg.scale(x, 35.0 / 128.0)
+
+
+def _ns_taylor_chunked(y, z, imat, order, params, monitor):
+    """Taylor NS fused iterations (see density._trs4_chunked)."""
+    import jax.numpy as jnp
+    from .common import run_chunked
+    from .density import _pin_capacity
+
+    thr = params.threshold
+    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat)
+
+    def step(carry, imatc):
+        yc, zc = carry
+        x = alg.increment(alg.matmul(zc, yc, threshold=thr),
+                          imatc, 1.0, -1.0)
+        norm_value = jnp.real(alg.norm(x))
+        x = _taylor_update(x, imatc, order, thr)
+        z_new = alg.matmul(x, zc, threshold=thr)
+        y_new = alg.matmul(yc, x, threshold=thr)
+        return (y_new, z_new), (norm_value,)
+
+    with iteration_log(params) as ilog:
+        (y, z), _, total = run_chunked(
+            step, (y, z), (imatp,), params, monitor, ilog,
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+    return y, z, total
 
 
 def dense_square_root(mat, params: SolverParameters | None = None):

@@ -40,7 +40,28 @@ def params(ips):
                             iters_per_sync=ips)
 
 
-@pytest.mark.parametrize("solver", ["trs2", "trs4"])
+def test_cg_chunked_matches_eager(rng, grid):
+    from ntpoly_tpu.solvers import linear
+    _, sm, _, s = _system(rng, grid)
+    b = PM.identity(DIM, bs=BS, dtype=sm.dtype, grid=grid)
+    x1 = linear.cg_solver(sm, b, params(1))
+    x2 = linear.cg_solver(sm, b, params(5))
+    ref = np.linalg.inv(s)
+    assert rel_error(np.asarray(PM.to_dense(x1)), ref) < 1e-7
+    assert rel_error(np.asarray(PM.to_dense(x2)), ref) < 1e-7
+
+
+def test_ns_taylor_chunked_matches_eager(rng, grid):
+    import scipy.linalg as sla
+    _, sm, _, s = _system(rng, grid)
+    i1 = squareroot.inverse_square_root(sm, params(1), order=5)
+    i2 = squareroot.inverse_square_root(sm, params(5), order=5)
+    ref = sla.fractional_matrix_power(s, -0.5).real
+    assert rel_error(np.asarray(PM.to_dense(i1)), ref) < 1e-8
+    assert rel_error(np.asarray(PM.to_dense(i2)), ref) < 1e-8
+
+
+@pytest.mark.parametrize("solver", ["trs2", "trs4", "pm", "hpcp"])
 def test_purification_chunked_matches_eager(rng, grid, solver):
     hm, _, h, _ = _system(rng, grid)
     isq = PM.identity(DIM, bs=BS, dtype=hm.dtype, grid=grid)

@@ -110,7 +110,8 @@ def bench_hotelling(grid, on_cpu):
     s = _fill(dim, 128 if not on_cpu else 32, grid, i, j, v)
     # pin capacity: static shapes -> one compile per op for the whole solve
     params = SolverParameters(converge_diff=1e-6, threshold=1e-8,
-                              k_out=min(s.panel_nb, 8 * s.k))
+                              k_out=min(s.panel_nb, 8 * s.k),
+                              iters_per_sync=8)
     inverse.invert(s, params)            # warm caches
     t0 = time.perf_counter()
     inv = inverse.invert(s, params)
@@ -168,7 +169,8 @@ def bench_complex_isq_sign(grid, on_cpu):
         i2, j2, v2, dim2 = cplx.embed_triplets(i, j, vals, dim)
         s = _fill(dim2, bs, grid, i2, j2, v2.astype(np.float32))
     params = SolverParameters(converge_diff=1e-6, threshold=1e-9,
-                              k_out=min(s.panel_nb, 8 * s.k))
+                              k_out=min(s.panel_nb, 8 * s.k),
+                              iters_per_sync=8)
     t0 = time.perf_counter()
     isq = squareroot.inverse_square_root(s, params)
     _sync(isq)

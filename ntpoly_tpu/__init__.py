@@ -16,6 +16,8 @@ Two surfaces:
 """
 from .api import *          # noqa: F401,F403
 from . import config        # noqa: F401
+from .utils.errors import (  # noqa: F401
+    NTPolyError, GridError, IOFormatError, ConvergenceError)
 from .api import (          # noqa: F401 — explicit for introspection
     ConstructGlobalProcessGrid, DestructGlobalProcessGrid, GetGlobalIsRoot,
     GetGlobalNumRows, GetGlobalNumColumns, GetGlobalNumSlices,

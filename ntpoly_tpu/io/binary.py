@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..parallel import pmatrix as PM
+from ..utils.errors import IOFormatError
 
 MAGIC = 0x4E545058        # "NTPX"
 
@@ -41,11 +42,16 @@ def write(mat: PM.PSMatrix, file_name: str):
         recs.tofile(f)
 
 
+def _read_header(f, file_name):
+    hdr = np.fromfile(f, _HEADER_DTYPE, count=1)
+    if len(hdr) == 0 or hdr[0]["magic"] != MAGIC:
+        raise IOFormatError(f"{file_name}: not an ntpoly_tpu binary file")
+    return hdr[0]
+
+
 def read_triplets(file_name: str):
     with open(file_name, "rb") as f:
-        header = np.fromfile(f, _HEADER_DTYPE, count=1)[0]
-        if header["magic"] != MAGIC:
-            raise ValueError(f"{file_name}: not an ntpoly_tpu binary file")
+        header = _read_header(f, file_name)
         recs = np.fromfile(f, _triplet_dtype(bool(header["is_complex"])),
                            count=int(header["nnz"]))
     return (recs["row"].astype(np.int64), recs["col"].astype(np.int64),
@@ -58,9 +64,7 @@ def read_triplets_range(file_name: str, rank: int, n_ranks: int):
     binary read with the custom MPI triplet type,
     PSMatrixModule.F90:574-693)."""
     with open(file_name, "rb") as f:
-        header = np.fromfile(f, _HEADER_DTYPE, count=1)[0]
-        if header["magic"] != MAGIC:
-            raise ValueError(f"{file_name}: not an ntpoly_tpu binary file")
+        header = _read_header(f, file_name)
         dt = _triplet_dtype(bool(header["is_complex"]))
         nnz = int(header["nnz"])
         lo = (nnz * rank) // n_ranks

@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import native
 from ..parallel import pmatrix as PM
+from ..utils.errors import IOFormatError
 
 
 def read_header(file_name: str):
@@ -22,7 +23,7 @@ def read_header(file_name: str):
         header = f.readline().decode()
     parts = header.strip().split()
     if len(parts) != 5 or parts[0] != "%%MatrixMarket":
-        raise ValueError(f"bad MatrixMarket header: {header!r}")
+        raise IOFormatError(f"bad MatrixMarket header: {header!r}")
     _, obj, fmt, field, symmetry = (p.lower() for p in parts)
     return obj, fmt, field, symmetry
 
@@ -32,7 +33,7 @@ def read_triplets(file_name: str):
     symmetry-expanded."""
     obj, fmt, field, symmetry = read_header(file_name)
     if fmt != "coordinate":
-        raise ValueError("only coordinate MatrixMarket files are supported")
+        raise IOFormatError("only coordinate MatrixMarket files are supported")
     with open(file_name, "rb") as f:
         f.readline()                              # header line
         raw = f.read()
@@ -84,7 +85,7 @@ def read_triplets_shape(file_name: str):
             if s and not s.startswith(b"%"):
                 parts = s.split()
                 return i, j, v, (int(parts[0]), int(parts[1]))
-    raise ValueError(f"{file_name}: no size line")
+    raise IOFormatError(f"{file_name}: no size line")
 
 
 def _body_offset_and_size(file_name: str):
@@ -92,13 +93,13 @@ def _body_offset_and_size(file_name: str):
     symmetry/field codes."""
     obj, fmt, field, symmetry = read_header(file_name)
     if fmt != "coordinate":
-        raise ValueError("only coordinate MatrixMarket files are supported")
+        raise IOFormatError("only coordinate MatrixMarket files are supported")
     with open(file_name, "rb") as f:
         f.readline()                              # header
         while True:
             line = f.readline()
             if not line:
-                raise ValueError(f"{file_name}: no size line")
+                raise IOFormatError(f"{file_name}: no size line")
             s = line.strip()
             if s and not s.startswith(b"%"):
                 parts = s.split()

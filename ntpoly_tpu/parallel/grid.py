@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 
 import jax
 import numpy as np
+
+from ..utils.errors import GridError
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXES = ("rows", "cols", "slices")
@@ -52,14 +54,14 @@ class ProcessGrid:
         n = len(devices)
         if rows is None or cols is None:
             if n % slices != 0:
-                raise ValueError(
+                raise GridError(
                     f"slices={slices} does not divide device count {n}")
             rows, cols = _near_square(n // slices)
         if rows * cols * slices != n:
-            raise ValueError(
+            raise GridError(
                 f"grid {rows}x{cols}x{slices} != device count {n}")
         if slices > 1 and max(rows, cols) % min(rows, cols) != 0:
-            raise ValueError(
+            raise GridError(
                 "with slices > 1, max(rows, cols) must be a multiple of "
                 f"min(rows, cols); got {rows}x{cols}")
         self.rows, self.cols, self.slices = rows, cols, slices

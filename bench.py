@@ -134,6 +134,7 @@ def bench_trs4(grid, on_cpu):
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
                               k_out=min(h.panel_nb, 8 * h.k),
                               iters_per_sync=8)
+    _sync(density.trs4(h, isq, float(nel), params)[0])   # warm compiles
     t0 = time.perf_counter()
     rho, energy, mu = density.trs4(h, isq, float(nel), params)
     _sync(rho)
@@ -171,6 +172,8 @@ def bench_complex_isq_sign(grid, on_cpu):
     params = SolverParameters(converge_diff=1e-6, threshold=1e-9,
                               k_out=min(s.panel_nb, 8 * s.k),
                               iters_per_sync=8)
+    _sync(squareroot.inverse_square_root(s, params))     # warm compiles
+    _sync(sign.sign_function(s, params))
     t0 = time.perf_counter()
     isq = squareroot.inverse_square_root(s, params)
     _sync(isq)
@@ -198,6 +201,9 @@ def bench_cheby_exp_log(grid, on_cpu):
                 (-0.25 * vals).astype(np.float32))
     params = SolverParameters(threshold=1e-9,
                               k_out=min(lap.panel_nb, 16 * lap.k))
+    emat = exponential.compute_exponential(lap, params)  # warm compiles
+    _sync(emat)
+    _sync(exponential.compute_logarithm(emat, params))
     t0 = time.perf_counter()
     emat = exponential.compute_exponential(lap, params)
     _sync(emat)

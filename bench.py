@@ -241,20 +241,29 @@ def main():
     import sys
 
     lines = {}
-    # headline first in execution (most important to complete), last in
-    # output
-    for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
+
+    def attempt(name, timeout):
         try:
             res = subprocess.run(
                 [sys.executable, __file__, "--config", name],
-                capture_output=True, text=True,
-                timeout=540 if name == "spgemm" else 360)
+                capture_output=True, text=True, timeout=timeout)
             for ln in res.stdout.splitlines():
                 if ln.startswith("{"):
                     lines[name] = ln
         except subprocess.TimeoutExpired:
             print(f"# {name}: timed out (cold XLA compile stall)",
                   file=sys.stderr)
+
+    # headline first in execution (most important to complete), last in
+    # output
+    for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
+        attempt(name, 540 if name == "spgemm" else 360)
+    # the tunneled backend's compile stalls are transient: one retry pass
+    # for anything that timed out (caches warmed by the first attempt
+    # survive server-side)
+    for name in ORDER:
+        if name not in lines:
+            attempt(name, 540)
     for name in ORDER:
         if name in lines:
             print(lines[name], flush=True)

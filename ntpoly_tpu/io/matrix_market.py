@@ -135,6 +135,11 @@ def read_triplets_range(file_name: str, rank: int, n_ranks: int):
     if not body_bytes:
         i = j = np.zeros(0, np.int64)
         v = np.zeros(0)
+    elif native.available():
+        code = {"pattern": native.FIELD_PATTERN,
+                "complex": native.FIELD_COMPLEX}.get(field,
+                                                     native.FIELD_REAL)
+        i, j, v = native.mm_parse_range(body_bytes, code)
     elif field == "pattern":
         arr = np.array(body_bytes.split(), np.float64).reshape(-1, 2)
         i, j = (arr[:, 0].astype(np.int64) - 1,

@@ -68,6 +68,28 @@ def mm_parse_body(body: bytes, field: int):
     return n_rows, n_cols, ri[1:], ci[1:], vals
 
 
+def mm_parse_range(body: bytes, field: int):
+    """Parse a byte range of MM data lines (no header/size line in the
+    buffer) -> (rows, cols, vals) 0-based.  The multi-host per-rank read
+    path (reference MPI_File_read_at_all + per-line parse,
+    PSMatrixModule.F90:453-550)."""
+    if _lib is None:
+        raise RuntimeError("native library unavailable")
+    n = _lib.ntx_mm_count(body, len(body))
+    ri = np.empty(n, np.int64)
+    ci = np.empty(n, np.int64)
+    vre = np.empty(n, np.float64)
+    vim = np.empty(n, np.float64) if field == FIELD_COMPLEX else None
+    got = _lib.ntx_mm_parse(body, len(body), field, _ptr(ri), _ptr(ci),
+                            _ptr(vre), _ptr(vim) if vim is not None else None)
+    if got != n:
+        raise RuntimeError(f"mm parse mismatch: counted {n}, parsed {got}")
+    vals = vre + 1j * vim if field == FIELD_COMPLEX else vre
+    if field == FIELD_PATTERN:
+        vals = np.ones(n)
+    return ri, ci, vals
+
+
 def mm_format(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:
     """Format 0-based triplets as 1-based MM coordinate lines."""
     if _lib is None:

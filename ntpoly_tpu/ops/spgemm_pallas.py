@@ -20,12 +20,17 @@ a *structure pass* (XLA, integer-only) and a *numeric pass* (Pallas, MXU):
     (bs, bs) dots on v5e where tiny matmuls are pipeline-fill bound — and
     each (bs, bs) chunk of the product is added straight into its
     precomputed output slot;
-  * B rows are double-buffered HBM->VMEM via async DMA (the analogue of
-    the reference's comm/compute overlap task loop,
+  * the numeric pass is a fully pipelined pallas pipeline over grid
+    (row, A-slot): B rows are fetched by a gather BlockSpec whose index
+    map reads the prefetched col ids, so Pallas double-buffers the
+    gathered rows ACROSS grid steps and the MXU never waits on a DMA it
+    could have overlapped (the analogue of the reference's comm/compute
+    overlap task loop,
     distributed_algebra_includes/MatrixMultiply.f90:87-274);
-  * pruning + compaction happens in-kernel ("PruneList"): entries with
-    |alpha*v| <= threshold are flushed, all-zero output blocks are
-    dropped, survivors are shifted down in ascending column order.
+  * pruning + compaction ("PruneList") runs as a vectorized XLA epilogue:
+    entries with |alpha*v| <= threshold are flushed, all-zero output
+    blocks are dropped, survivors re-packed in ascending column order —
+    parallel over all rows instead of a serial in-kernel loop.
 
 There is NO dense accumulator over output columns, so the kernel scales to
 any panel width (a dense-accumulator design hits the VMEM wall once the
@@ -116,119 +121,79 @@ def structure_plan(a_cols: Array, b_cols: Array, k_out: int
     return slot, occ, ucnt
 
 
-def _kernel(acols_ref, plan_ref, occp_ref, fpar_ref,   # scalar prefetch
-            ablk_ref, bhbm_ref,                        # tensor inputs
-            occ_ref, oblk_ref,                         # outputs
-            bbuf_ref, cnt_ref, sem_ref,
-            *, ka: int, kb: int, nbk: int, k_out: int):
+def _kernel(acols_ref, plan_ref,                   # scalar prefetch
+            ablk_ref, bpan_ref,                    # pipelined VMEM inputs
+            oblk_ref,                              # pipelined VMEM output
+            *, ka: int, kb: int, k_out: int):
     r = pl.program_id(0)
+    s = pl.program_id(1)
     bs = ablk_ref.shape[-1]
-    thr = fpar_ref[0]
-    alpha = fpar_ref[1]
 
-    def b_row(s):
-        return jnp.clip(acols_ref[r, s], 0, nbk - 1)
+    @pl.when(s == 0)
+    def _():
+        oblk_ref[...] = jnp.zeros_like(oblk_ref)
 
-    def get_dma(slot, s):
-        return pltpu.make_async_copy(
-            bhbm_ref.at[b_row(s)], bbuf_ref.at[slot], sem_ref.at[slot])
+    @pl.when(acols_ref[r, s] != EMPTY)
+    def _():
+        # HIGHEST: full-f32 MXU passes — the bf16 default breaks the
+        # library's 1e-6 convergence tolerances.
+        part = jnp.dot(ablk_ref[0, 0], bpan_ref[0],
+                       preferred_element_type=oblk_ref.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        for t in range(kb):
+            g = plan_ref[r, s * kb + t]
 
-    # ---- numeric pass: one wide MXU dot per A slot, partial blocks added
-    # straight into their precomputed output slots ----
-    oblk_ref[...] = jnp.zeros_like(oblk_ref)
-    get_dma(0, 0).start()
-    for s in range(ka):
-        slot = s % 2
-        if s + 1 < ka:
-            get_dma(1 - slot, s + 1).start()
-        get_dma(slot, s).wait()
-
-        @pl.when(acols_ref[r, s] != EMPTY)
-        def _():
-            # HIGHEST: full-f32 MXU passes — the bf16 default breaks the
-            # library's 1e-6 convergence tolerances.
-            part = jnp.dot(ablk_ref[0, s], bbuf_ref[slot],
-                           preferred_element_type=oblk_ref.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
-            for t in range(kb):
-                g = plan_ref[r, s * kb + t]
-
-                @pl.when(g < k_out)
-                def _():
-                    oblk_ref[0, g] += part[:, t * bs:(t + 1) * bs]
-
-    # ---- prune + compact in place (ascending order preserved) ----
-    cnt_ref[0] = 0
-
-    def step(j, _):
-        blk = oblk_ref[0, j] * alpha
-        blk = jnp.where(jnp.abs(blk) > thr, blk, 0.0)
-        c = cnt_ref[0]
-
-        @pl.when(jnp.any(blk != 0.0) & (occp_ref[r, j] != EMPTY))
-        def _():
-            oblk_ref[0, c] = blk                       # c <= j always
-            occ_ref[r, c] = occp_ref[r, j]
-            cnt_ref[0] = c + 1
-        return 0
-
-    jax.lax.fori_loop(0, k_out, step, 0)
-
-    n = cnt_ref[0]
-    for j in range(k_out):
-        @pl.when(j >= n)
-        def _():
-            oblk_ref[0, j] = jnp.zeros_like(oblk_ref[0, j])
-            occ_ref[r, j] = EMPTY
+            @pl.when(g < k_out)
+            def _():
+                oblk_ref[0, g] += part[:, t * bs:(t + 1) * bs]
 
 
-# Per-row int32 metadata (a_cols, plan, occ plan) lives in SMEM via scalar
+# Per-row int32 metadata (a_cols, merge plan) lives in SMEM via scalar
 # prefetch; chunk the row dimension so the SMEM footprint stays bounded for
 # large matrices.
 ROW_CHUNK = 1024
 
 
-def _call_kernel(a_cols, plan, occp, fpar, a_blocks, b_panel,
+def _call_kernel(a_cols, plan, a_blocks, b_panel,
                  *, kb: int, nbk: int, k_out: int, interpret: bool):
+    """Numeric pass as a fully pipelined pallas pipeline: grid (R, KA); the
+    B block-row for step (r, s) is fetched by a *gather BlockSpec* whose
+    index map reads the prefetched col ids (so Pallas double-buffers the
+    gathered rows across grid steps — the role of the reference's
+    comm/compute overlap task loop); the output row block stays VMEM
+    -resident while its KA accumulation steps run.  Prune/compact runs
+    vectorized in XLA afterwards (structure is known there anyway)."""
     R, KA = a_cols.shape
     bs = a_blocks.shape[-1]
     dt = a_blocks.dtype
-    M = KA * kb
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(R,),
+        num_scalar_prefetch=2,
+        grid=(R, KA),
         in_specs=[
-            pl.BlockSpec((1, KA, bs, bs), lambda r, *_: (r, 0, 0, 0),
+            pl.BlockSpec((1, 1, bs, bs), lambda r, s, *_: (r, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, bs, kb * bs),
+                lambda r, s, acols, plan: (
+                    jnp.minimum(acols[r, s], nbk - 1), 0, 0),
+                memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, k_out, bs, bs), lambda r, *_: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, bs, kb * bs), dt),       # B-row double buffer
-            pltpu.SMEM((1,), jnp.int32),            # compaction counter
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((1, k_out, bs, bs),
+                               lambda r, s, *_: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(
-        _kernel, ka=KA, kb=kb, nbk=nbk, k_out=k_out)
+    kernel = functools.partial(_kernel, ka=KA, kb=kb, k_out=k_out)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((R, k_out), jnp.int32),
-            jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
-        ),
+        out_shape=jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
         cost_estimate=pl.CostEstimate(
             flops=R * KA * 2 * bs * bs * kb * bs,
             bytes_accessed=(R * KA * bs * bs + R * KA * kb * bs * bs
                             + R * k_out * bs * bs) * dt.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(a_cols, plan, occp, fpar, a_blocks, b_panel)
+    )(a_cols, plan, a_blocks, b_panel)
 
 
 @functools.partial(
@@ -259,29 +224,31 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     b_panel = jnp.swapaxes(b_blocks.astype(dt), -3, -2).reshape(
         NBK, bs, KB * bs)
 
-    fpar = jnp.stack([jnp.asarray(threshold, dt), jnp.asarray(alpha, dt)])
     ab = a_blocks.astype(dt)
 
-    ccs, cbs = [], []
+    cbs = []
     for lo in range(0, R, ROW_CHUNK):
         hi = min(lo + ROW_CHUNK, R)
-        cc, cb = _call_kernel(
-            a_cols[lo:hi], plan[lo:hi], occp[lo:hi], fpar, ab[lo:hi],
-            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret)
-        ccs.append(cc)
-        cbs.append(cb)
-    if len(ccs) == 1:
-        return ccs[0], cbs[0], ucnt
-    return (jnp.concatenate(ccs, axis=0), jnp.concatenate(cbs, axis=0),
-            ucnt)
+        cbs.append(_call_kernel(
+            a_cols[lo:hi], plan[lo:hi], ab[lo:hi],
+            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret))
+    cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)
+
+    # Epilogue (vectorized XLA over all rows): alpha scale, threshold
+    # flush, zero-block drop + ascending re-pack — PruneList's role
+    # (reference sparse_includes/PruneList.f90).
+    from ..core import bell
+    cc, cb = bell.compact(occp, cb * jnp.asarray(alpha, dt), k_out,
+                          threshold)
+    return cc, cb, ucnt
 
 
 def vmem_bytes(k_out: int, ka: int, kb: int, bs: int,
                itemsize: int = 4) -> int:
     """Estimated VMEM footprint of one kernel invocation."""
-    bbuf = 2 * bs * kb * bs
-    ablk = 2 * ka * bs * bs            # double-buffered input block row
-    out = 2 * k_out * bs * bs
+    bbuf = 2 * bs * kb * bs            # double-buffered gathered B row
+    ablk = 2 * bs * bs                 # double-buffered A block
+    out = 2 * k_out * bs * bs          # VMEM-resident output row
     return (bbuf + ablk + out) * itemsize
 
 

@@ -752,6 +752,17 @@ class EigenSolvers:
                                                 params=_params_of(sp))
 
     @staticmethod
+    def IterativeEigenDecomposition(InputMat, nvals, sp=None):
+        """TPU-native extension (no reference analogue short of the
+        optional EigenExa bridge): lowest-nvals eigenpairs by matrix-free
+        LOBPCG over the distributed sparse operator.  Returns
+        (eigenvalues ndarray [nvals], eigenvectors ndarray [dim, nvals])."""
+        import numpy as np
+        w, v = _eigen.eigen_decomposition_iterative(
+            InputMat._m, nvals, params=_params_of(sp))
+        return np.asarray(w), np.asarray(v)
+
+    @staticmethod
     def SingularValueDecomposition(InputMat, LeftVectors, RightVectors,
                                    SingularValues, sp=None):
         left, right, vals = _eigen.singular_value_decomposition(

@@ -80,7 +80,7 @@ __all__ = [
     "pairwise_multiply", "filter_small", "transpose", "conjugate",
     "diagonal_scale", "measure_asymmetry", "symmetrize",
     "similarity_transform", "column_sums", "gershgorin_bounds", "spmv",
-    "matrix_sigma", "load_balance", "capacity_policy", "fill_bound",
+    "spmm", "matrix_sigma", "load_balance", "capacity_policy", "fill_bound",
 ]
 
 
@@ -474,6 +474,24 @@ def spmv(a: PSMatrix, x: jax.Array) -> jax.Array:
     y = jnp.einsum('prkij,prkj->ri', a.blocks, xg.astype(a.dtype),
                    precision=lax.Precision.HIGHEST)
     return y.reshape(-1)
+
+
+@jax.jit
+def spmm(a: PSMatrix, x: jax.Array) -> jax.Array:
+    """Y = A @ X for a replicated dense block of vectors X[logical_dim, m].
+
+    The MXU-friendly tall-operand product behind the iterative (matrix-free)
+    eigensolver — each block-ELL slot contributes one (bs, bs) x (bs, m)
+    dot, batched over all slots.
+    """
+    m = x.shape[-1]
+    xb = x.reshape(a.nb, a.bs, m)
+    valid = a.col_ids != EMPTY
+    loc = jnp.where(valid, a.col_ids, 0)
+    xg = xb[loc] * valid[..., None, None].astype(x.dtype)  # [Pc,NB,K,bs,m]
+    y = jnp.einsum('prkij,prkjm->rim', a.blocks, xg.astype(a.dtype),
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(a.logical_dim, m)
 
 
 @jax.jit

@@ -417,6 +417,19 @@ def test_eigen_decomposition_partial(tmp_path, rng, isp):
     check(tmp_path, vals, ref)
 
 
+def test_eigen_decomposition_iterative(tmp_path, rng, isp):
+    """Matrix-free LOBPCG path: lowest-nvals pairs without densifying."""
+    nvals = 4
+    m = create_matrix(rng, dim=64)
+    a = to_nt(tmp_path, m)
+    w, v = nt.EigenSolvers.IterativeEigenDecomposition(a, nvals, isp)
+    w_ref = np.linalg.eigvalsh(m)[:nvals]
+    assert rel_error(w, w_ref) <= THRESHOLD
+    # residual check: A v ~= v diag(w)
+    res = np.linalg.norm(m @ v - v * w[None, :]) / np.linalg.norm(m)
+    assert res <= 10 * THRESHOLD
+
+
 def test_eigen_values(tmp_path, rng, isp):
     m = create_matrix(rng)
     a = to_nt(tmp_path, m)

@@ -88,13 +88,19 @@ def compact(cols: Array, blocks: Array, k_out: int, threshold=0.0
     occupied = (norms > 0) & (cols != EMPTY)
     inf = jnp.asarray(jnp.inf, norms.dtype)
     rank_key = jnp.where(occupied, -norms, inf)
+    # Both reorders (keep-largest selection, then ascending col ids) are
+    # composed on the cheap [..., K] metadata first so the big block tensor
+    # is gathered exactly ONCE (HBM traffic, not FLOPs, prices this op).
     order = jnp.argsort(rank_key, axis=-1)[..., :k_out]
-    c, b = _take_slots(cols, blocks, order)
+    c = jnp.take_along_axis(cols, order, axis=-1)
     occ = jnp.take_along_axis(occupied, order, axis=-1)
     c = jnp.where(occ, c, EMPTY)
-    b = b * occ[..., None, None].astype(b.dtype)
     order2 = jnp.argsort(c, axis=-1)
-    return _take_slots(c, b, order2)
+    final = jnp.take_along_axis(order, order2, axis=-1)
+    b = jnp.take_along_axis(blocks, final[..., None, None], axis=-3)
+    occ2 = jnp.take_along_axis(occ, order2, axis=-1)
+    c2 = jnp.sort(c, axis=-1)
+    return c2, b * occ2[..., None, None].astype(b.dtype)
 
 
 def merge(cols: Array, blocks: Array, k_out: int, threshold=0.0

@@ -7,8 +7,11 @@ blocks; each block-row stores up to K blocks as
                                       EMPTY (2**30) marks an unused slot
     blocks  : dtype[..., R, K, bs, bs]
 
-Invariants: slots of a row are sorted by col id with all EMPTY slots last, an
-EMPTY slot's block is all-zero, and col ids are unique within a row.
+Invariants: non-EMPTY col ids of a row are ascending and unique, and an
+EMPTY slot's block is all-zero.  EMPTY slots usually pack last, but the
+pallas SpGEMM marks below-threshold slots EMPTY *in place* (holes), so no
+consumer may assume a dense prefix — use :func:`used_slots`, not
+:func:`occupancy`, for capacity trims, and :func:`compact` to re-pack.
 
 This plays the role NTPoly's local CSR + memory-pool layer plays
 (reference: Source/Fortran/SMatrixModule.F90:15-31,
@@ -142,6 +145,18 @@ def union_fill(a_cols: Array, b_cols: Array) -> Array:
 def occupancy(cols: Array) -> Array:
     """Per-row count of occupied slots: [..., K] -> [...]."""
     return jnp.sum((cols != EMPTY).astype(jnp.int32), axis=-1)
+
+
+def used_slots(cols: Array) -> Array:
+    """Highest occupied slot index + 1: [..., K] -> [...].
+
+    Equals :func:`occupancy` when slots are packed (EMPTY last), but stays
+    correct for hole-bearing layouts (the pallas kernel marks flushed slots
+    EMPTY in place) — capacity trims must use this, not occupancy."""
+    k = cols.shape[-1]
+    idx = jnp.where(cols != EMPTY, jnp.arange(1, k + 1, dtype=jnp.int32), 0)
+    return jnp.max(idx, axis=-1) if k else jnp.zeros(cols.shape[:-1],
+                                                     jnp.int32)
 
 
 def add(a_cols: Array, a_blocks: Array, b_cols: Array, b_blocks: Array,

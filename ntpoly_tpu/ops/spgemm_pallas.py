@@ -62,6 +62,29 @@ from ..config import EMPTY
 Array = jax.Array
 
 
+def _candidate_ids(a_cols: Array, b_cols: Array) -> Array:
+    """[R, KA*KB] output block-col id of every candidate product (EMPTY for
+    unused A slots / B slots)."""
+    R, KA = a_cols.shape
+    valid_a = a_cols != EMPTY
+    ks = jnp.where(valid_a, a_cols, 0)
+    ids = jnp.where(valid_a[:, :, None], b_cols[ks], EMPTY)   # [R, KA, KB]
+    return ids.reshape(R, KA * b_cols.shape[-1])
+
+
+def _first_occurrence(ids: Array) -> Array:
+    """first[..., m] — ids[m] is valid and has no duplicate at m' < m.
+
+    Pairwise comparisons instead of sort: XLA:TPU lowers sort/scatter to
+    (near-)serial loops, while an [., M, M] boolean block is one VPU pass
+    (M = KA*KB is small in the threshold-sparse regime)."""
+    M = ids.shape[-1]
+    eq = ids[..., :, None] == ids[..., None, :]               # [., M, M]
+    earlier = (jnp.arange(M)[:, None] > jnp.arange(M)[None, :])
+    dup = jnp.any(eq & earlier, axis=-1)
+    return (ids != EMPTY) & ~dup
+
+
 def structural_fill(a_cols: Array, b_cols: Array) -> Array:
     """Exact per-row structural fill-in of C = A @ B from col ids alone.
 
@@ -70,16 +93,8 @@ def structural_fill(a_cols: Array, b_cols: Array) -> Array:
     the TPU answer to NTPoly's memory-pool growth
     (reference sparse_includes/GemmMatrix.f90:48-56).
     """
-    R, KA = a_cols.shape
-    valid_a = a_cols != EMPTY
-    ks = jnp.where(valid_a, a_cols, 0)
-    ids = jnp.where(valid_a[:, :, None], b_cols[ks], EMPTY)
-    ids = ids.reshape(R, KA * b_cols.shape[-1])
-    sids = jnp.sort(ids, axis=1)
-    prev = jnp.concatenate(
-        [jnp.full((R, 1), -1, sids.dtype), sids[:, :-1]], axis=1)
-    first = (sids != prev) & (sids != EMPTY)
-    return jnp.sum(first.astype(jnp.int32), axis=1)
+    ids = _candidate_ids(a_cols, b_cols)
+    return jnp.sum(_first_occurrence(ids).astype(jnp.int32), axis=-1)
 
 
 def structure_plan(a_cols: Array, b_cols: Array, k_out: int
@@ -91,37 +106,29 @@ def structure_plan(a_cols: Array, b_cols: Array, k_out: int
                                  (>= k_out means dropped: overflow or EMPTY)
       occ    [R, k_out]  int32 — ascending unique output col ids (EMPTY pad)
       ucnt   [R]         int32 — exact structural fill-in per row
+
+    Sort- and scatter-free: slot of candidate m is the count of distinct
+    smaller ids (rank), built from [R, M, M] pairwise comparisons — the
+    r02 argsort+scatter version cost ~35 ms/call on chip because XLA:TPU
+    serializes scatters; this is pure VPU work.
     """
     a_cols = a_cols.astype(jnp.int32)
     b_cols = b_cols.astype(jnp.int32)
-    R, KA = a_cols.shape
-    KB = b_cols.shape[-1]
-    M = KA * KB
-    valid_a = a_cols != EMPTY
-    ks = jnp.where(valid_a, a_cols, 0)
-    ids = jnp.where(valid_a[:, :, None], b_cols[ks], EMPTY)   # [R, KA, KB]
-    ids = ids.reshape(R, M)
-    order = jnp.argsort(ids, axis=1, stable=True)
-    sids = jnp.take_along_axis(ids, order, axis=1)
-    prev = jnp.concatenate(
-        [jnp.full((R, 1), -1, sids.dtype), sids[:, :-1]], axis=1)
-    first = (sids != prev) & (sids != EMPTY)
-    grank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1   # [R, M]
-    # scatter rank back to candidate order
-    slot = jnp.zeros((R, M), jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, M))
-    slot = slot.at[rows, order].set(grank)
-    slot = jnp.where(ids != EMPTY, slot, M)                    # sentinel
-    ucnt = jnp.sum(first.astype(jnp.int32), axis=1)
-    occ = jnp.full((R, k_out), EMPTY, jnp.int32)
-    gtgt = jnp.where(first & (grank < k_out), grank, k_out)
-    occ = jnp.concatenate(
-        [occ, jnp.zeros((R, 1), jnp.int32)], axis=1)           # spill col
-    occ = occ.at[rows, gtgt].set(sids, mode='drop')[:, :k_out]
+    ids = _candidate_ids(a_cols, b_cols)                      # [R, M]
+    M = ids.shape[-1]
+    first = _first_occurrence(ids)
+    # rank[m] = number of distinct ids smaller than ids[m]
+    lt = ids[:, None, :] < ids[:, :, None]                    # [R, m, m']
+    rank = jnp.sum((first[:, None, :] & lt).astype(jnp.int32), axis=-1)
+    slot = jnp.where(ids != EMPTY, rank, M)
+    ucnt = jnp.sum(first.astype(jnp.int32), axis=-1)
+    # occ[g] = the (unique) id whose rank is g
+    hit = (rank[:, :, None] == jnp.arange(k_out)) & first[:, :, None]
+    occ = jnp.min(jnp.where(hit, ids[:, :, None], EMPTY), axis=1)
     return slot, occ, ucnt
 
 
-def _kernel(acols_ref, plan_ref,                   # scalar prefetch
+def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
             ablk_ref, bpan_ref,                    # pipelined VMEM inputs
             oblk_ref,                              # pipelined VMEM output
             *, ka: int, kb: int, k_out: int):
@@ -147,6 +154,14 @@ def _kernel(acols_ref, plan_ref,                   # scalar prefetch
             def _():
                 oblk_ref[0, g] += part[:, t * bs:(t + 1) * bs]
 
+    # Finalize on the last A slot: alpha scale + elementwise threshold
+    # flush (PruneList's rule, reference sparse_includes/PruneList.f90)
+    # while the row is still VMEM-resident.
+    @pl.when(s == ka - 1)
+    def _():
+        scaled = oblk_ref[0] * scal_ref[0]
+        oblk_ref[0] = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+
 
 # Per-row int32 metadata (a_cols, merge plan) lives in SMEM via scalar
 # prefetch; chunk the row dimension so the SMEM footprint stays bounded for
@@ -154,27 +169,28 @@ def _kernel(acols_ref, plan_ref,                   # scalar prefetch
 ROW_CHUNK = 1024
 
 
-def _call_kernel(a_cols, plan, a_blocks, b_panel,
+def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
                  *, kb: int, nbk: int, k_out: int, interpret: bool):
     """Numeric pass as a fully pipelined pallas pipeline: grid (R, KA); the
     B block-row for step (r, s) is fetched by a *gather BlockSpec* whose
     index map reads the prefetched col ids (so Pallas double-buffers the
     gathered rows across grid steps — the role of the reference's
     comm/compute overlap task loop); the output row block stays VMEM
-    -resident while its KA accumulation steps run.  Prune/compact runs
-    vectorized in XLA afterwards (structure is known there anyway)."""
+    -resident while its KA accumulation steps run, and the prune epilogue
+    (alpha scale + threshold + per-slot norms) runs in-kernel on the last
+    slot, so no XLA pass ever re-reads the block tensor."""
     R, KA = a_cols.shape
     bs = a_blocks.shape[-1]
     dt = a_blocks.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(R, KA),
         in_specs=[
             pl.BlockSpec((1, 1, bs, bs), lambda r, s, *_: (r, s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, bs, kb * bs),
-                lambda r, s, acols, plan: (
+                lambda r, s, acols, plan, scal: (
                     jnp.minimum(acols[r, s], nbk - 1), 0, 0),
                 memory_space=pltpu.VMEM),
         ],
@@ -193,7 +209,7 @@ def _call_kernel(a_cols, plan, a_blocks, b_panel,
                             + R * k_out * bs * bs) * dt.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(a_cols, plan, a_blocks, b_panel)
+    )(a_cols, plan, scal, a_blocks, b_panel)
 
 
 @functools.partial(
@@ -209,6 +225,15 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     Returns (col_ids [R, k_out], blocks [R, k_out, bs, bs],
     ucnt [R] — exact structural fill-in per row, so ``ucnt > k_out``
     flags capacity overflow).
+
+    Output format note: non-EMPTY col ids are ascending and unique, but a
+    slot whose whole block fell below the threshold is marked EMPTY *in
+    place* (its block is zero) — EMPTY slots may be interleaved, not
+    packed last.  Every consumer in :mod:`..core.bell` is order- and
+    hole-agnostic; re-pack with ``bell.compact`` if a dense prefix is
+    required.  This is what makes the epilogue free: the kernel's block
+    output IS the result, and only the [R, k_out] col-id metadata is
+    touched afterwards.
     """
     R, KA = a_cols.shape
     NBK, KB = b_cols.shape
@@ -225,21 +250,22 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
         NBK, bs, KB * bs)
 
     ab = a_blocks.astype(dt)
+    scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
+                      jnp.asarray(threshold, jnp.float32)]).astype(dt)
 
     cbs = []
     for lo in range(0, R, ROW_CHUNK):
         hi = min(lo + ROW_CHUNK, R)
         cbs.append(_call_kernel(
-            a_cols[lo:hi], plan[lo:hi], ab[lo:hi],
+            a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
             b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret))
     cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)
 
-    # Epilogue (vectorized XLA over all rows): alpha scale, threshold
-    # flush, zero-block drop + ascending re-pack — PruneList's role
-    # (reference sparse_includes/PruneList.f90).
-    from ..core import bell
-    cc, cb = bell.compact(occp, cb * jnp.asarray(alpha, dt), k_out,
-                          threshold)
+    # Metadata-only epilogue: mark slots whose whole block flushed to zero
+    # EMPTY in place (one fused read of the output; no gather/sort/move —
+    # the kernel's block output IS the result).
+    nm = jnp.sum(jnp.abs(cb), axis=(-1, -2))
+    cc = jnp.where(nm > 0, occp, EMPTY)
     return cc, cb, ucnt
 
 

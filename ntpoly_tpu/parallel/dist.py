@@ -26,7 +26,7 @@ import numpy as np
 
 __all__ = ["initialize", "process_count", "process_index",
            "is_multiprocess", "shard_global", "allgather_triplets",
-           "host_value"]
+           "exchange_triplets", "host_value"]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -90,6 +90,82 @@ def allgather_triplets(rows, cols, vals):
     gv = np.asarray(mhu.process_allgather(vpad))        # [P, maxn]
     keep = np.arange(maxn)[None, :] < counts[:, None]
     return (gi[..., 0][keep], gi[..., 1][keep], gv[keep])
+
+
+def exchange_triplets(rows, cols, vals, dest):
+    """Route each (i, j, v) triplet to the process ``dest`` — the TPU-native
+    alltoallv of the reference fill (reference distributed_includes/
+    FillMatrixFromTripletList.f90:25-46): per-destination buckets ride a
+    device ``lax.all_to_all`` over a one-device-per-process mesh, so each
+    host's traffic is O(its nnz + received nnz), never the global union.
+
+    Returns this process's received (rows, cols, vals).
+    """
+    if not is_multiprocess():
+        return rows, cols, vals
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    nproc = jax.process_count()
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    dest = np.asarray(dest, np.int64)
+    iscomplex = np.iscomplexobj(vals)
+
+    counts = np.bincount(dest, minlength=nproc)
+    # bucket capacity must agree globally (static shape for the collective)
+    maxn = int(np.max(mhu.process_allgather(
+        np.asarray([counts.max() if counts.size else 0], np.int64))))
+    if maxn == 0:
+        return rows[:0], cols[:0], vals[:0]
+    order = np.argsort(dest, kind="stable")
+    offs = np.zeros(nproc + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    width = 5 if iscomplex else 4
+    packed = np.zeros((nproc, maxn, width), np.float64)
+    sr, sc, sv = rows[order], cols[order], vals[order]
+    for p in range(nproc):
+        lo, hi = offs[p], offs[p + 1]
+        n = hi - lo
+        packed[p, :n, 0] = sr[lo:hi]
+        packed[p, :n, 1] = sc[lo:hi]
+        packed[p, :n, 2] = 1.0                    # validity flag
+        if iscomplex:
+            packed[p, :n, 3] = sv[lo:hi].real
+            packed[p, :n, 4] = sv[lo:hi].imag
+        else:
+            packed[p, :n, 3] = sv[lo:hi]
+
+    # one device per process, exchange over a 1-axis mesh
+    per_proc = {}
+    for d in jax.devices():
+        per_proc.setdefault(d.process_index, d)
+    devs = [per_proc[p] for p in range(nproc)]
+    mesh = Mesh(np.asarray(devs), ("p",))
+    sh = NamedSharding(mesh, P("p"))
+    # global [nproc*nproc, maxn, width]; this process's shard is exactly
+    # its own packed buckets
+    gshape = (nproc * nproc, maxn, width)
+    src = jax.make_array_from_callback(gshape, sh, lambda idx: packed)
+
+    def swap(x):                                  # x: [nproc, maxn, width]
+        return lax.all_to_all(x, "p", split_axis=0, concat_axis=0)
+
+    out = jax.jit(
+        jax.shard_map(swap, mesh=mesh, in_specs=P("p"), out_specs=P("p")),
+        )(src)
+    got = np.asarray(out.addressable_shards[0].data).reshape(-1, width)
+    keep = got[:, 2] > 0.5
+    r = got[keep, 0].astype(np.int64)
+    c = got[keep, 1].astype(np.int64)
+    if iscomplex:
+        v = (got[keep, 3] + 1j * got[keep, 4]).astype(vals.dtype)
+    else:
+        v = got[keep, 3].astype(vals.dtype)
+    return r, c, v
 
 
 def host_value(x) -> np.ndarray:

@@ -104,15 +104,85 @@ def _shard(grid: ProcessGrid, col_ids, blocks):
             dist.shard_global(np.asarray(blocks), sh))
 
 
+def _slice_bounds(sl: slice, extent: int) -> tuple[int, int]:
+    return (sl.start or 0, extent if sl.stop is None else sl.stop)
+
+
+# observability for tests: the largest single host allocation of the most
+# recent _build_sharded call (must be O(shard), never O(global))
+_build_stats = {"max_shard_bytes": 0}
+
+
+def _build_sharded(grid: ProcessGrid, nb: int, k: int, bs: int, dtype,
+                   sp, sr, slot, sc, sb):
+    """Materialize the block-ELL arrays shard-by-shard from sorted
+    unique-block data (sp=panel, sr=block-row, slot, sc=col id, sb=block).
+
+    No host ever allocates the full logical array: each addressable shard
+    is built independently (O(shard bytes + local nnz) host memory) — the
+    O(nnz/P) construction the reference gets from alltoallv fill
+    (reference distributed_includes/FillMatrixFromTripletList.f90:25-46).
+    """
+    sh = grid.matrix_sharding
+    cache: dict = {}
+    _build_stats["max_shard_bytes"] = 0
+
+    def make(idx, kind):
+        p0, p1 = _slice_bounds(idx[0], grid.cols)
+        r0, r1 = _slice_bounds(idx[1], nb)
+        key = (p0, p1, r0, r1, kind)
+        if key not in cache:
+            m = (sp >= p0) & (sp < p1) & (sr >= r0) & (sr < r1)
+            lp, lr, ls = sp[m] - p0, sr[m] - r0, slot[m]
+            if kind == "c":
+                arr = np.full((p1 - p0, r1 - r0, k), EMPTY, np.int32)
+                arr[lp, lr, ls] = sc[m]
+            else:
+                arr = np.zeros((p1 - p0, r1 - r0, k, bs, bs), dtype)
+                arr[lp, lr, ls] = sb[m]
+            cache[key] = arr
+            _build_stats["max_shard_bytes"] = max(
+                _build_stats["max_shard_bytes"], arr.nbytes)
+        return cache[key]
+
+    from . import dist
+    if (not dist.is_multiprocess()
+            and grid.mesh.devices.flat[0].platform not in ("cpu",)):
+        # tunneled accelerator backends (axon) hang in
+        # make_array_from_callback; single-process there means one shard
+        # per device anyway, so assemble directly and device_put.  The
+        # callback path (true O(shard) host memory) serves CPU meshes and
+        # every multi-process run.
+        full_c = make((slice(0, grid.cols), slice(0, nb)), "c")
+        full_b = make((slice(0, grid.cols), slice(0, nb)), "b")
+        return (jax.device_put(full_c, sh), jax.device_put(full_b, sh))
+    cids = jax.make_array_from_callback(
+        (grid.cols, nb, k), sh, lambda idx: make(idx, "c"))
+    blks = jax.make_array_from_callback(
+        (grid.cols, nb, k, bs, bs), sh, lambda idx: make(idx, "b"))
+    return cids, blks
+
+
 def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
           grid: ProcessGrid | None = None) -> PSMatrix:
     grid = grid or global_grid()
     dtype = dtype or default_real_dtype()
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        from .. import config
+        if not config.backend_supports_complex(grid):
+            from ..utils.errors import ComplexSupportError
+            raise ComplexSupportError(
+                f"backend '{grid.mesh.devices.flat[0].platform}' has no "
+                "native complex arithmetic; use ntpoly_tpu.Matrix_ps "
+                "(automatic 2x2 real embedding) or core/cplx.py directly "
+                "(reference holds complex natively, "
+                "PSMatrixModule.F90:1673-1703)")
     nb, pnb = geometry(dim, bs, grid)
     k = min(k or pnb, pnb)
-    col_ids = np.full((grid.cols, nb, k), EMPTY, np.int32)
-    blocks = np.zeros((grid.cols, nb, k, bs, bs), dtype)
-    col_ids, blocks = _shard(grid, col_ids, blocks)
+    z = np.zeros(0, np.int64)
+    col_ids, blocks = _build_sharded(
+        grid, nb, k, bs, dtype, z, z, z, z,
+        np.zeros((0, bs, bs), dtype))
     return PSMatrix(col_ids, blocks, dim, bs, grid)
 
 
@@ -146,16 +216,33 @@ def fill_from_triplets(m: PSMatrix, rows, cols, vals,
                          FillMatrixFromTripletList.f90:14-24).
     """
     from . import dist
-    if mode == "distributed" and dist.is_multiprocess():
-        rows, cols, vals = dist.allgather_triplets(rows, cols, vals)
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
     # Coordinates may address the padded (logical) region — the reference
     # stores permutation matrices there (PSMatrixModule.F90:864-979).
-    if np.any(rows >= m.logical_dim) or np.any(cols >= m.logical_dim):
+    if ((rows.size and rows.max(initial=0) >= m.logical_dim)
+            or (cols.size and cols.max(initial=0) >= m.logical_dim)):
         raise ValueError("triplet coordinates beyond matrix dimension")
     bs, nb, pnb = m.bs, m.nb, m.panel_nb
+    if mode == "distributed" and dist.is_multiprocess():
+        # route each triplet to the process(es) owning its shard — the
+        # alltoallv of the reference fill (O(nnz/P) per host, not the
+        # O(nnz) allgather union); slice replicas each get a copy
+        owners = _shard_owners(m)                 # [pc, rows, slices]
+        pi = (cols // bs) // pnb
+        ri = (rows // bs) // _rows_per(m)
+        er, ec, ev, ed = [], [], [], []
+        for s in range(owners.shape[-1]):
+            dest = owners[pi, ri, s]
+            keep = dest >= 0
+            er.append(rows[keep])
+            ec.append(cols[keep])
+            ev.append(vals[keep])
+            ed.append(dest[keep])
+        rows, cols, vals = dist.exchange_triplets(
+            np.concatenate(er), np.concatenate(ec), np.concatenate(ev),
+            np.concatenate(ed))
     bi, bj = rows // bs, cols // bs
     bid = bi * nb + bj
     ub, inv = np.unique(bid, return_inverse=True)
@@ -173,18 +260,37 @@ def fill_from_triplets(m: PSMatrix, rows, cols, vals,
     start = np.maximum.accumulate(np.where(first, np.arange(nub), 0))
     slot = np.arange(nub) - start
     k_needed = int(slot.max()) + 1 if nub else 1
-    if mode == "prepartitioned" and dist.is_multiprocess():
+    if mode in ("prepartitioned", "distributed") and dist.is_multiprocess():
         # capacity must agree across processes (it is a static shape)
         from jax.experimental import multihost_utils as mhu
         k_needed = int(np.max(mhu.process_allgather(
             np.asarray([k_needed], np.int64))))
     k = max(m.k, k_needed)
-    col_ids = np.full((m.panels, nb, k), EMPTY, np.int32)
-    out_blocks = np.zeros((m.panels, nb, k, bs, bs), m.dtype)
-    col_ids[sp, sr, slot] = sc
-    out_blocks[sp, sr, slot] = sb
-    col_ids, out_blocks = _shard(m.grid, col_ids, out_blocks)
+    col_ids, out_blocks = _build_sharded(
+        m.grid, nb, k, bs, m.dtype, sp, sr, slot, sc, sb)
     return m.with_data(col_ids, out_blocks)
+
+
+def _rows_per(m: PSMatrix) -> int:
+    return m.nb // m.grid.rows
+
+
+def _shard_owners(m: PSMatrix) -> np.ndarray:
+    """owner[p, rblock, s] -> process id holding the slice-s replica of the
+    (panel p, row-shard) tile; -1 marks a duplicate (same process already
+    listed for a lower slice), so each owning process receives one copy."""
+    devs = np.asarray(m.grid.mesh.devices)       # [rows, cols, slices]
+    S = m.grid.slices
+    owner = np.full((m.grid.cols, m.grid.rows, S), -1, np.int64)
+    for p in range(m.grid.cols):
+        for r in range(m.grid.rows):
+            seen = set()
+            for s in range(S):
+                pid = devs[r, p, s].process_index
+                if pid not in seen:
+                    seen.add(pid)
+                    owner[p, r, s] = pid
+    return owner
 
 
 def from_dense(dense: np.ndarray, *, bs: int, k: int | None = None,

@@ -24,6 +24,7 @@ from .parallel import grid as _grid
 from .parallel import pmatrix as _pm
 from .io import matrix_market as _mm
 from .io import binary as _bin
+from .core import cplx as _cplx
 from .solvers import (analysis as _analysis, chebyshev as _cheb,
                       density as _density, eigen as _eigen,
                       eigenbounds as _bounds, exponential as _exp,
@@ -334,6 +335,12 @@ def _auto_bs(dim: int) -> int:
     return 4
 
 
+def _propagate(dst: "Matrix_ps", src: "Matrix_ps") -> None:
+    """Copy complex-embedding metadata: f(E(C)) = E(f(C)) for every matrix
+    function here, so outputs of embedded inputs are embedded."""
+    dst._embedded, dst._cdim = src._embedded, src._cdim
+
+
 class PMatrixMemoryPool:
     """Capacity pools are internal to the XLA kernels; kept for signature
     parity (reference PMatrixMemoryPoolModule.F90:12-18)."""
@@ -343,7 +350,19 @@ class PMatrixMemoryPool:
 
 
 class Matrix_ps:
-    """reference Source/CPlusPlus/PSMatrix.h:20-200."""
+    """reference Source/CPlusPlus/PSMatrix.h:20-200.
+
+    Complex data on a backend without native complex arithmetic (XLA:TPU)
+    is held as the 2x2 real embedding E(A+iB) = [[A,-B],[B,A]] of twice
+    the dimension (core/cplx.py derives why every solver commutes with E).
+    ``_embedded``/``_cdim`` track that state; accessors translate, density
+    solvers double the trace target and halve reported energies.  The
+    reference holds complex natively through every layer
+    (PSMatrixModule.F90:1673-1703) — on CPU so do we.
+    """
+
+    _embedded = False                  # class-level defaults
+    _cdim = None
 
     def __init__(self, arg, *extra):
         grid = None
@@ -355,38 +374,69 @@ class Matrix_ps:
                 grid = e
         if isinstance(arg, Matrix_ps):                 # copy constructor
             self._m = arg._m
+            self._embedded, self._cdim = arg._embedded, arg._cdim
         elif isinstance(arg, _pm.PSMatrix):
             self._m = arg
         elif isinstance(arg, str):
-            header_dim = None
             if is_binary:
                 i, j, v, dim = _bin.read_triplets(arg)
             else:
                 i, j, v, dim = _mm.read_triplets(arg)
-            dtype = default_complex_dtype() if np.iscomplexobj(v) \
-                else default_real_dtype()
-            m = _pm.empty(dim, bs=_auto_bs(dim), dtype=dtype, grid=grid)
-            self._m = _pm.fill_from_triplets(m, i, j, v)
+            self._fill_triplets(i, j, v, dim, grid=grid)
         else:
             dim = int(arg)
             self._m = _pm.empty(dim, bs=_auto_bs(dim),
                                 dtype=default_real_dtype(), grid=grid)
 
+    def _fill_triplets(self, i, j, v, dim, grid=None, bs=None, k=None):
+        from .config import should_embed_complex
+        grid = grid or (self._m.grid if hasattr(self, "_m") else None)
+        if np.iscomplexobj(v) and should_embed_complex(grid):
+            i, j, v, dim2 = _cplx.embed_triplets(i, j, v, dim)
+            m = _pm.empty(dim2, bs=bs or _auto_bs(dim2),
+                          dtype=default_real_dtype(), grid=grid)
+            self._m = _pm.fill_from_triplets(m, i, j, v)
+            self._embedded, self._cdim = True, dim
+            return
+        dtype = default_complex_dtype() if np.iscomplexobj(v) \
+            else default_real_dtype()
+        m = _pm.empty(dim, bs=bs or _auto_bs(dim), k=k, dtype=dtype,
+                      grid=grid)
+        self._m = _pm.fill_from_triplets(m, i, j, v)
+        self._embedded, self._cdim = False, None
+
+    def _triplets(self):
+        """Stored triplets in USER coordinates (complex when embedded)."""
+        r, c, v = _pm.to_triplets(self._m)
+        if self._embedded:
+            return _cplx.extract_triplets(r, c, v, self._m.dim)[:3]
+        return r, c, v
+
     # -- IO --------------------------------------------------------------
     def WriteToMatrixMarket(self, file_name: str):
+        if self._embedded:
+            from .parallel import dist
+            r, c, v = self._triplets()
+            if not (dist.is_multiprocess() and dist.process_index() != 0):
+                _mm.write_triplets(file_name, r, c, v, self._cdim)
+            return
         _mm.write(self._m, file_name)
 
     def WriteToBinary(self, file_name: str):
+        if self._embedded:
+            from .parallel import dist
+            r, c, v = self._triplets()
+            if not (dist.is_multiprocess() and dist.process_index() != 0):
+                _bin.write_triplets(file_name, r, c, v, self._cdim)
+            return
         _bin.write(self._m, file_name)
 
     # -- fills -----------------------------------------------------------
     def FillFromTripletList(self, triplet_list):
         i, j, v = triplet_list._arrays()
-        dtype = default_complex_dtype() if triplet_list._complex \
-            else default_real_dtype()
-        base = _pm.empty(self._m.dim, bs=self._m.bs, k=self._m.k,
-                         dtype=dtype, grid=self._m.grid)
-        self._m = _pm.fill_from_triplets(base, i, j, v)
+        dim = self._cdim if self._embedded else self._m.dim
+        self._fill_triplets(i, j, v, dim, grid=self._m.grid,
+                            bs=self._m.bs, k=self._m.k)
 
     def FillIdentity(self):
         self._m = _pm.identity(self._m.dim, bs=self._m.bs, k=self._m.k,
@@ -406,16 +456,18 @@ class Matrix_ps:
 
     # -- accessors -------------------------------------------------------
     def GetActualDimension(self) -> int:
-        return self._m.dim
+        return self._cdim if self._embedded else self._m.dim
 
     def GetLogicalDimension(self) -> int:
         return self._m.logical_dim
 
     def GetSize(self) -> int:
+        if self._embedded:
+            return len(self._triplets()[2])
         return self._m.nnz
 
     def GetTripletList(self, triplet_list):
-        r, c, v = _pm.to_triplets(self._m)
+        r, c, v = self._triplets()
         order = np.lexsort((c, r))
         new = type(triplet_list)._from_arrays(r[order], c[order], v[order])
         triplet_list.rows = new.rows
@@ -424,7 +476,7 @@ class Matrix_ps:
 
     def GetMatrixBlock(self, triplet_list, start_row, end_row, start_column,
                        end_column):
-        r, c, v = _pm.to_triplets(self._m)
+        r, c, v = self._triplets()
         keep = ((r >= start_row) & (r < end_row)
                 & (c >= start_column) & (c < end_column))
         new = type(triplet_list)._from_arrays(r[keep], c[keep], v[keep])
@@ -434,6 +486,15 @@ class Matrix_ps:
 
     def GetMatrixSlice(self, submatrix, start_row, end_row, start_column,
                        end_column):
+        if self._embedded:
+            r, c, v = self._triplets()
+            keep = ((r >= start_row) & (r <= end_row)
+                    & (c >= start_column) & (c <= end_column))
+            dim = max(end_row - start_row, end_column - start_column) + 1
+            submatrix._fill_triplets(
+                r[keep] - start_row, c[keep] - start_column, v[keep], dim,
+                grid=self._m.grid, bs=self._m.bs)
+            return
         submatrix._m = _pm.get_slice(self._m, start_row, end_row + 1,
                                      start_column, end_column + 1)
 
@@ -445,47 +506,105 @@ class Matrix_ps:
         return float(_alg.norm(diff)) == 0.0
 
     # -- structure -------------------------------------------------------
+    @staticmethod
+    def _embed_sign(m):
+        """P = diag(+I, -I): E(conj C) = P E(C) P (conjugation flips the
+        imaginary blocks' signs in the embedding)."""
+        half = m.logical_dim // 2
+        d = np.where(np.arange(m.logical_dim) < half, 1.0, -1.0)
+        return _alg.diagonal_scale(
+            _alg.diagonal_scale(m, d, side="left"), d, side="right")
+
     def Transpose(self, matA: "Matrix_ps"):
-        self._m = _alg.transpose(matA._m)
+        t = _alg.transpose(matA._m)
+        # embedded: E(A)^T = E(A^H); plain transpose needs the conjugation
+        # fix-up P E(A)^T P = E(A^T)
+        self._m = self._embed_sign(t) if matA._embedded else t
+        _propagate(self, matA)
 
     def Conjugate(self):
-        self._m = self._m.conjugate()
+        if self._embedded:
+            self._m = self._embed_sign(self._m)
+        else:
+            self._m = self._m.conjugate()
 
     def Resize(self, new_size: int):
+        if self._embedded:
+            r, c, v = self._triplets()
+            keep = (r < new_size) & (c < new_size)
+            self._fill_triplets(r[keep], c[keep], v[keep], new_size,
+                                grid=self._m.grid, bs=self._m.bs)
+            return
         self._m = _pm.resize(self._m, new_size)
 
     # -- algebra ---------------------------------------------------------
     def Dot(self, matB: "Matrix_ps"):
         result = complex(_alg.dot(self._m, matB._m))
-        return result.real
+        # <E(A), E(B)> = 2 Re<A, B> (real+imag parts each counted once
+        # per diagonal block of the embedding)
+        return result.real / 2.0 if self._embedded else result.real
 
     def Dot_c(self, matB: "Matrix_ps"):
+        if self._embedded:
+            # exact complex dot via extracted triplets (host-side; the
+            # embedding loses the imaginary part of the device-side dot)
+            ra, ca, va = self._triplets()
+            rb, cb, vb = matB._triplets()
+            da = {(int(i), int(j)): x for i, j, x in zip(ra, ca, va)}
+            return complex(sum(np.conj(da.get((int(i), int(j)), 0.0)) * x
+                               for i, j, x in zip(rb, cb, vb)))
         return complex(_alg.dot(self._m, matB._m))
 
     def Increment(self, matB: "Matrix_ps", alpha=1.0, threshold=0.0):
+        if np.iscomplexobj(alpha) and matB._embedded:
+            raise TypeError("complex alpha requires native complex; "
+                            "real alpha commutes with the embedding")
         self._m = _alg.increment(self._m, matB._m, beta=alpha,
                                  alpha=1.0, threshold=threshold)
+        _propagate(self, matB)
 
     def PairwiseMultiply(self, matA: "Matrix_ps", matB: "Matrix_ps"):
+        if matA._embedded:
+            # the Hadamard product does NOT commute with the embedding;
+            # compute on extracted complex triplets and re-embed
+            ra, ca, va = matA._triplets()
+            db = {(int(i), int(j)): x
+                  for i, j, x in zip(*matB._triplets())}
+            vv = np.array([x * db.get((int(i), int(j)), 0.0)
+                           for i, j, x in zip(ra, ca, va)],
+                          dtype=np.complex128)
+            self._fill_triplets(ra, ca, vv, matA._cdim, grid=matA._m.grid,
+                                bs=matA._m.bs)
+            return
         self._m = _alg.pairwise_multiply(matA._m, matB._m)
+        _propagate(self, matA)
 
     def Gemm(self, matA: "Matrix_ps", matB: "Matrix_ps", memory_pool=None,
              alpha=1.0, beta=0.0, threshold=0.0):
         self._m = _alg.matmul(matA._m, matB._m, alpha=alpha, beta=beta,
                               c=self._m if beta != 0.0 else None,
                               threshold=threshold)
+        _propagate(self, matA)
 
     def Scale(self, constant):
         self._m = _alg.scale(self._m, constant)
 
     def Norm(self):
+        if self._embedded:
+            # exact complex column 1-norm from extracted triplets (the
+            # embedding's column sums see |Re| + |Im|, not |v|)
+            r, c, v = self._triplets()
+            sums = np.zeros(self._cdim)
+            np.add.at(sums, c.astype(np.int64), np.abs(v))
+            return float(sums.max()) if len(v) else 0.0
         return float(_alg.norm(self._m))
 
     def MeasureAsymmetry(self):
         return float(_alg.measure_asymmetry(self._m))
 
     def Trace(self):
-        return complex(_alg.trace(self._m)).real
+        t = complex(_alg.trace(self._m)).real
+        return t / 2.0 if self._embedded else t
 
     def Symmetrize(self):
         self._m = _alg.symmetrize(self._m)
@@ -507,63 +626,82 @@ class Matrix_ps:
 class DensityMatrixSolvers:
     @staticmethod
     def PM(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
-        k, e, mu = _density.pm(Hamiltonian._m, InverseSquareRoot._m, nel,
-                               _params_of(sp))
+        emb = Hamiltonian._embedded
+        k, e, mu = _density.pm(
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, _params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def TRS2(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
-        k, e, mu = _density.trs2(Hamiltonian._m, InverseSquareRoot._m, nel,
-                                 _params_of(sp))
+        emb = Hamiltonian._embedded
+        k, e, mu = _density.trs2(
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, _params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def TRS4(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
-        k, e, mu = _density.trs4(Hamiltonian._m, InverseSquareRoot._m, nel,
-                                 _params_of(sp))
+        emb = Hamiltonian._embedded
+        k, e, mu = _density.trs4(
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, _params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def HPCP(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
-        k, e, mu = _density.hpcp(Hamiltonian._m, InverseSquareRoot._m, nel,
-                                 _params_of(sp))
+        emb = Hamiltonian._embedded
+        k, e, mu = _density.hpcp(
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, _params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def ScaleAndFold(Hamiltonian, InverseSquareRoot, nel, Density, homo,
                      lumo, sp=None):
+        emb = Hamiltonian._embedded
         k, e = _density.scale_and_fold(
-            Hamiltonian._m, InverseSquareRoot._m, nel, homo, lumo,
-            _params_of(sp))
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, homo, lumo, _params_of(sp))
         Density._m = k
-        return e
+        _propagate(Density, Hamiltonian)
+        return e / 2.0 if emb else e
 
     @staticmethod
     def DenseDensity(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        emb = Hamiltonian._embedded
         k, e, mu = _fermi.compute_dense_foe(
-            Hamiltonian._m, InverseSquareRoot._m, nel,
-            params=_params_of(sp))
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, params=_params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def EnergyDensityMatrix(Hamiltonian, Density, EnergyDensity,
                             threshold=0.0):
         EnergyDensity._m = _density.energy_density_matrix(
             Hamiltonian._m, Density._m, threshold)
+        _propagate(EnergyDensity, Hamiltonian)
 
     @staticmethod
     def McWeenyStep(D, *args):
         # McWeenyStep(D, DOut) or McWeenyStep(D, S, DOut)
         if len(args) == 1:
             args[0]._m = _density.mcweeny_step(D._m)
+            _propagate(args[0], D)
         else:
             s, dout = args
             dout._m = _density.mcweeny_step(D._m, s._m)
+            _propagate(dout, D)
 
 
 class FermiOperator:
@@ -572,72 +710,89 @@ class FermiOperator:
                         inv_temp=None, sp=None):
         if isinstance(inv_temp, SolverParameters):
             sp, inv_temp = inv_temp, None
+        emb = Hamiltonian._embedded
         k, e, mu = _fermi.compute_dense_foe(
-            Hamiltonian._m, InverseSquareRoot._m, nel, inv_temp=inv_temp,
+            Hamiltonian._m, InverseSquareRoot._m,
+            2 * nel if emb else nel, inv_temp=inv_temp,
             params=_params_of(sp))
         Density._m = k
-        return e, mu
+        _propagate(Density, Hamiltonian)
+        return (e / 2.0 if emb else e), mu
 
     @staticmethod
     def WOM_GC(Hamiltonian, InverseSquareRoot, Density, chemical_potential,
                inv_temp, sp=None):
+        emb = Hamiltonian._embedded
         k, e = _fermi.wom_gc(Hamiltonian._m, InverseSquareRoot._m,
                              chemical_potential, inv_temp, _params_of(sp))
         Density._m = k
-        return e
+        _propagate(Density, Hamiltonian)
+        return e / 2.0 if emb else e
 
     @staticmethod
     def WOM_C(Hamiltonian, InverseSquareRoot, Density, nel, inv_temp,
               sp=None):
-        k, e = _fermi.wom_c(Hamiltonian._m, InverseSquareRoot._m, nel,
-                            inv_temp, _params_of(sp))
+        emb = Hamiltonian._embedded
+        k, e = _fermi.wom_c(Hamiltonian._m, InverseSquareRoot._m,
+                            2 * nel if emb else nel, inv_temp,
+                            _params_of(sp))
         Density._m = k
-        return e
+        _propagate(Density, Hamiltonian)
+        return e / 2.0 if emb else e
 
 
 class InverseSolvers:
     @staticmethod
     def Invert(InputMat, OutputMat, sp=None):
         OutputMat._m = _inv.invert(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def PseudoInverse(InputMat, OutputMat, sp=None):
         OutputMat._m = _inv.pseudo_inverse(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def DenseInvert(InputMat, OutputMat, sp=None):
         OutputMat._m = _inv.dense_invert(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
 
 class SquareRootSolvers:
     @staticmethod
     def SquareRoot(InputMat, OutputMat, sp=None, order=5):
         OutputMat._m = _sqrt.square_root(InputMat._m, _params_of(sp), order)
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def InverseSquareRoot(InputMat, OutputMat, sp=None, order=5):
         OutputMat._m = _sqrt.inverse_square_root(InputMat._m,
                                                  _params_of(sp), order)
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def DenseSquareRoot(InputMat, OutputMat, sp=None):
         OutputMat._m = _sqrt.dense_square_root(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def DenseInverseSquareRoot(InputMat, OutputMat, sp=None):
         OutputMat._m = _sqrt.dense_inverse_square_root(InputMat._m,
                                                        _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
 
 class SignSolvers:
     @staticmethod
     def ComputeSign(InputMat, OutputMat, sp=None):
         OutputMat._m = _sign.sign_function(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeDenseSign(InputMat, OutputMat, sp=None):
         OutputMat._m = _sign.dense_sign_function(InputMat._m,
                                                  _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputePolarDecomposition(InputMat, UMat, HMat, sp=None):
@@ -650,69 +805,83 @@ class RootSolvers:
     def ComputeRoot(InputMat, OutputMat, root, sp=None):
         OutputMat._m = _roots.compute_root(InputMat._m, root,
                                            _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeInverseRoot(InputMat, OutputMat, root, sp=None):
         OutputMat._m = _roots.compute_inverse_root(InputMat._m, root,
                                                    _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
 
 class ExponentialSolvers:
     @staticmethod
     def ComputeExponential(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_exponential(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeExponentialPade(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_exponential_pade(InputMat._m,
                                                      _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeExponentialTaylor(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_exponential_taylor(InputMat._m,
                                                        _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeDenseExponential(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_dense_exponential(InputMat._m,
                                                       _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeLogarithm(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_logarithm(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeLogarithmTaylor(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_logarithm_taylor(InputMat._m,
                                                      _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ComputeDenseLogarithm(InputMat, OutputMat, sp=None):
         OutputMat._m = _exp.compute_dense_logarithm(InputMat._m,
                                                     _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
 
 class TrigonometrySolvers:
     @staticmethod
     def Sine(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.sine(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def Cosine(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.cosine(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def DenseSine(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.dense_sine(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def DenseCosine(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.dense_cosine(InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
     @staticmethod
     def ScaleSquareTrigonometryTaylor(InputMat, OutputMat, sp=None):
         OutputMat._m = _trig.scale_square_trigonometry_taylor(
             InputMat._m, _params_of(sp))
+        _propagate(OutputMat, InputMat)
 
 
 class LinearSolvers:
@@ -743,13 +912,16 @@ class EigenSolvers:
             InputMat._m, nvals=nvals, params=_params_of(sp),
             compute_vectors=EigenVectors is not None)
         EigenValues._m = vals
+        _propagate(EigenValues, InputMat)
         if EigenVectors is not None:
             EigenVectors._m = vecs
+            _propagate(EigenVectors, InputMat)
 
     @staticmethod
     def EigenValues(InputMat, EigenValuesOut, nvals=None, sp=None):
         EigenValuesOut._m = _eigen.eigen_values(InputMat._m, nvals=nvals,
                                                 params=_params_of(sp))
+        _propagate(EigenValuesOut, InputMat)
 
     @staticmethod
     def IterativeEigenDecomposition(InputMat, nvals, sp=None):
@@ -782,6 +954,7 @@ class GeometryOptimization:
                                 sp=None):
         NewDensity._m = _geo.purification_extrapolate(
             PreviousDensity._m, Overlap._m, nel, _params_of(sp))
+        _propagate(NewDensity, PreviousDensity)
 
     @staticmethod
     def LowdinExtrapolate(PreviousDensity, OldOverlap, NewOverlap,
@@ -789,6 +962,7 @@ class GeometryOptimization:
         NewDensity._m = _geo.lowdin_extrapolate(
             PreviousDensity._m, OldOverlap._m, NewOverlap._m,
             _params_of(sp))
+        _propagate(NewDensity, PreviousDensity)
 
 
 class Analysis:
@@ -801,6 +975,7 @@ class Analysis:
     def ReduceDimension(InputMat, dim, ReducedMat, sp=None):
         ReducedMat._m = _analysis.reduce_dimension(InputMat._m, dim,
                                                    _params_of(sp))
+        _propagate(ReducedMat, InputMat)
 
 
 class MatrixConversion:

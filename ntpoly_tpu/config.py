@@ -44,3 +44,37 @@ def real_dtype_of(dtype) -> jnp.dtype:
 
 def is_complex(dtype) -> bool:
     return jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
+
+
+# ----------------------------------------------------------------------------
+# complex support policy
+# ----------------------------------------------------------------------------
+# XLA:TPU has no native complex arithmetic on the production path; the
+# TPU-native representation is the 2x2 real embedding (core/cplx.py).  The
+# api layer routes complex data through the embedding automatically when
+# the backend lacks native complex.  Modes: 'auto' (embed iff backend is
+# not CPU), 'always' (tests exercise the embedded path on CPU), 'never'.
+_embed_mode = "auto"
+
+
+def set_complex_embedding(mode: str) -> None:
+    global _embed_mode
+    assert mode in ("auto", "always", "never"), mode
+    _embed_mode = mode
+
+
+def backend_supports_complex(grid=None) -> bool:
+    """Native complex arrays are only trustworthy on the CPU backend."""
+    if grid is not None:
+        platform = grid.mesh.devices.flat[0].platform
+    else:
+        platform = jax.devices()[0].platform
+    return platform == "cpu"
+
+
+def should_embed_complex(grid=None) -> bool:
+    if _embed_mode == "always":
+        return True
+    if _embed_mode == "never":
+        return False
+    return not backend_supports_complex(grid)

@@ -30,10 +30,14 @@ def write(mat: PM.PSMatrix, file_name: str):
     r, c, v = PM.to_triplets(mat)       # collective in multi-process runs
     if dist.is_multiprocess() and dist.process_index() != 0:
         return
+    write_triplets(file_name, r, c, v, mat.dim)
+
+
+def write_triplets(file_name: str, r, c, v, dim: int):
     is_complex = bool(np.iscomplexobj(v))
     header = np.zeros(1, _HEADER_DTYPE)
     header["magic"], header["is_complex"] = MAGIC, is_complex
-    header["rows"] = header["cols"] = mat.dim
+    header["rows"] = header["cols"] = dim
     header["nnz"] = len(v)
     recs = np.empty(len(v), _triplet_dtype(is_complex))
     recs["row"], recs["col"], recs["val"] = r, c, v

@@ -196,12 +196,16 @@ def write(mat: PM.PSMatrix, file_name: str):
     r, c, v = PM.to_triplets(mat)
     if dist.is_multiprocess() and dist.process_index() != 0:
         return
+    write_triplets(file_name, r, c, v, mat.dim)
+
+
+def write_triplets(file_name: str, r, c, v, dim: int):
     is_complex = np.iscomplexobj(v)
     field = "complex" if is_complex else "real"
     with open(file_name, "wb") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n"
                 .encode())
-        f.write(f"{mat.dim} {mat.dim} {len(v)}\n".encode())
+        f.write(f"{dim} {dim} {len(v)}\n".encode())
         if native.available():
             f.write(native.mm_format(r, c, v))
         elif is_complex:

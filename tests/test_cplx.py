@@ -74,3 +74,97 @@ def test_solver_commutes_with_embedding(rng, grid, solver):
     embedded_result = cplx.extract(fn(cplx.embed(m)))
     assert rel_error(np.asarray(PM.to_dense(embedded_result)),
                      native_result) < 1e-6
+
+
+# ----------------------------------------------------------------------------
+# automatic embedding through the public api (VERDICT r2 missing #3):
+# complex input on a backend without native complex runs through the 2x2
+# embedding with NO manual embed_triplets — forced on here via the
+# embedding-policy override so CPU exercises the TPU code path.
+# ----------------------------------------------------------------------------
+
+@pytest.fixture
+def force_embed():
+    from ntpoly_tpu import config
+    config.set_complex_embedding("always")
+    yield
+    config.set_complex_embedding("auto")
+
+
+def _write_mm_complex(path, h):
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    mmwrite(str(path), csr_matrix(h))
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (2, 2, 1), (2, 2, 2)])
+def test_api_auto_embedded_isq_sign(rng, tmp_path, force_embed, shape):
+    """BASELINE config 3 through the public API: ISQ + sign of a complex
+    Hermitian matrix with automatic embedding, swept over grids."""
+    import ntpoly_tpu as nt
+    import scipy.linalg as sla
+    h = hermitian(rng, spd=True)
+    _write_mm_complex(tmp_path / "h.mtx", h)
+    nt.ConstructGlobalProcessGrid(*shape)
+    try:
+        H = nt.Matrix_ps(str(tmp_path / "h.mtx"))
+        assert H._embedded and H.GetActualDimension() == DIM
+        params = nt.SolverParameters()
+        params.SetThreshold(1e-12)
+        params.SetConvergeDiff(1e-10)
+        ISQ = nt.Matrix_ps(DIM)
+        nt.SquareRootSolvers.InverseSquareRoot(H, ISQ, params)
+        ISQ.WriteToMatrixMarket(str(tmp_path / "isq.mtx"))
+        SGN = nt.Matrix_ps(DIM)
+        nt.SignSolvers.ComputeSign(H, SGN, params)
+        SGN.WriteToMatrixMarket(str(tmp_path / "sgn.mtx"))
+        from scipy.io import mmread
+        isq = np.asarray(mmread(str(tmp_path / "isq.mtx")).todense())
+        ref = np.linalg.inv(sla.sqrtm(h))
+        assert rel_error(isq, ref) < 1e-5
+        sgn = np.asarray(mmread(str(tmp_path / "sgn.mtx")).todense())
+        assert rel_error(sgn, np.eye(DIM)) < 1e-5   # SPD -> sign == I
+        # trace/dot semantics on the embedding
+        assert abs(H.Trace() - np.trace(h).real) < 1e-8
+    finally:
+        nt.DestructGlobalProcessGrid()
+
+
+def test_api_auto_embedded_trs2_energy(rng, tmp_path, force_embed):
+    """Purification on an embedded complex Hamiltonian: doubled trace
+    target, halved reported energy — matches the native complex solve."""
+    import ntpoly_tpu as nt
+    h = hermitian(rng)
+    w, v = np.linalg.eigh(h)
+    nel = DIM // 2
+    e_ref = w[:nel].sum()
+    _write_mm_complex(tmp_path / "h.mtx", h)
+    nt.ConstructGlobalProcessGrid(2, 2, 1)
+    try:
+        H = nt.Matrix_ps(str(tmp_path / "h.mtx"))
+        ISQ = nt.Matrix_ps(DIM)
+        ISQ.FillIdentity()
+        assert ISQ._embedded is False      # real identity needs no embed
+        # build embedded identity the way a user would: via H's overlap
+        ISQe = nt.Matrix_ps(H)
+        ISQe.FillIdentity()
+        K = nt.Matrix_ps(DIM)
+        params = nt.SolverParameters()
+        params.SetThreshold(1e-12)
+        params.SetConvergeDiff(1e-10)
+        energy, mu = nt.DensityMatrixSolvers.TRS2(H, ISQe, nel, K, params)
+        assert abs(energy - e_ref) < 1e-5 * max(1.0, abs(e_ref))
+        assert K._embedded
+        # density trace = nel (complex trace via the halving rule)
+        assert abs(K.Trace() - nel) < 1e-6
+        # round-trip the density out as complex triplets
+        tl = nt.TripletList_c()
+        K.GetTripletList(tl)
+        occ = v[:, :nel]
+        rho_ref = occ @ occ.conj().T
+        rho = np.zeros((DIM, DIM), np.complex128)
+        rho[np.asarray(tl.rows) - 1,
+            np.asarray(tl.columns) - 1] = tl.values    # 1-based API
+        assert rel_error(rho, rho_ref) < 1e-5
+    finally:
+        nt.DestructGlobalProcessGrid()

@@ -58,22 +58,29 @@ def _policy_get(attr):
 
 @contextlib.contextmanager
 def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
-                    on_overflow: str | None = None):
+                    on_overflow: str | None = None, collect=None):
     """Ambient capacity defaults for matmul/increment/transpose.
 
     Solvers install this from SolverParameters.k_out / row_chunk: pinning
     the output capacity keeps iteration shapes static, so XLA compiles
     each op once instead of once per fill-in level (the role NTPoly's
     preallocated memory pool plays, GemmMatrix.f90:48-56 — there for
-    allocation cost, here for compilation cost)."""
+    allocation cost, here for compilation cost).
+
+    ``collect``: a list that every capacity-bounded op appends its exact
+    structural-fill requirement to (a traced scalar under jit).  The
+    chunked solver driver threads the max through its scan carry so
+    truncation is *detected*, never silent (the reference's pool never
+    drops entries, GemmMatrix.f90:48-56)."""
     prev = (_policy_get("k_out"), _policy_get("row_chunk"),
-            _policy_get("on_overflow"))
-    _policy.k_out, _policy.row_chunk, _policy.on_overflow = \
-        k_out, row_chunk, on_overflow
+            _policy_get("on_overflow"), _policy_get("collect"))
+    _policy.k_out, _policy.row_chunk, _policy.on_overflow, \
+        _policy.collect = k_out, row_chunk, on_overflow, collect
     try:
         yield
     finally:
-        _policy.k_out, _policy.row_chunk, _policy.on_overflow = prev
+        (_policy.k_out, _policy.row_chunk, _policy.on_overflow,
+         _policy.collect) = prev
 
 __all__ = [
     "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
@@ -147,8 +154,9 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
                 nbr_loc, s_slices * k_out, bs, bs)
             cc, cb = bell.merge(gc, gb, k_out, final_thresh)
         # one int32[2] readback covers both the capacity check (structural
-        # fill) and the trim decision (max occupancy)
-        stats = jnp.stack([fill, jnp.max(bell.occupancy(cc))])
+        # fill) and the trim decision (highest used slot — the pallas path
+        # leaves holes, so occupancy would under-count)
+        stats = jnp.stack([fill, jnp.max(bell.used_slots(cc))])
         stats = lax.pmax(stats, ("rows", "cols", "slices"))
         return cc[None], cb[None], stats
 
@@ -249,6 +257,7 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
     dt = jnp.result_type(a.dtype, b.dtype)
     requested = method
     grow = on_overflow == "grow"
+    collector = _policy_get("collect")
     while True:
         if requested == "auto":
             method = _pick_method(a, b, k_out)
@@ -258,7 +267,9 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
             jnp.asarray(alpha, dt), wt, threshold,
             grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
             row_chunk=row_chunk, method=method, interpret=interpret,
-            want_fill=grow)
+            want_fill=grow or collector is not None)
+        if collector is not None:
+            collector.append(stats[0])            # exact structural need
         if not grow or k_out >= cap:
             break
         if isinstance(stats, jax.core.Tracer):
@@ -305,8 +316,11 @@ def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
     cap = a.panel_nb
     k = min(k_out or _policy_get("k_out") or max(a.k, b.k), cap)
     on_overflow = on_overflow or _policy_get("on_overflow") or "grow"
+    collector = _policy_get("collect")
     while True:
         out, fill = _increment_jit(a, b, alpha, beta, threshold, k_out=k)
+        if collector is not None:
+            collector.append(fill)
         need = _concrete_int(fill)
         if (on_overflow != "grow" or k >= cap or need is None
                 or need <= k):

@@ -95,10 +95,11 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
                     monitor.append(energy - energy_old)
+                    ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
-                    ilog.step(**{"Energy Value": energy})
-        finish_iterations(params, total + 1, x)
+        finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Density Matrix Solver")
 
         x = maybe_unpermute(params, x)
         k = deorthogonalize(x, isq, isqt, params)
@@ -157,10 +158,11 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
                     monitor.append(energy - energy_old)
+                    ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
-                    ilog.step(**{"Energy Value": energy})
-        finish_iterations(params, total + 1, x)
+        finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Density Matrix Solver")
 
         x = maybe_unpermute(params, x)
         k = deorthogonalize(x, isq, isqt, params)
@@ -361,10 +363,11 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
                     monitor.append(energy - energy_old)
+                    ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
-                    ilog.step(**{"Energy Value": energy})
-        finish_iterations(params, total + 1, x)
+        finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Density Matrix Solver")
 
         x = maybe_unpermute(params, x)
         k = deorthogonalize(x, isq, isqt, params)
@@ -438,10 +441,11 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(d1, wh))
                     total = ii
                     monitor.append(energy - energy_old)
+                    ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
-                    ilog.step(**{"Energy Value": energy})
-        finish_iterations(params, total + 1, d1)
+        finish_iterations(params, total + 1, d1, monitor=monitor,
+                          solver="Density Matrix Solver")
 
         d1 = maybe_unpermute(params, d1)
         k = deorthogonalize(d1, isq, isqt, params)
@@ -497,10 +501,11 @@ def scale_and_fold(h, isq, trace, homo, lumo,
                 energy = real_scalar(alg.dot(x, wh))
                 total = ii
                 monitor.append(energy - energy_old)
+                ilog.step(**{"Energy Value": energy})
                 if monitor.check_converged(params.be_verbose):
                     break
-                ilog.step(**{"Energy Value": energy})
-        finish_iterations(params, total + 1, x)
+        finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Density Matrix Solver")
 
         x = maybe_unpermute(params, x)
         k = deorthogonalize(x, isq, isqt, params)

@@ -38,7 +38,8 @@ def purification_extrapolate(previous_density, overlap, trace,
                 monitor.append(norm_value)
                 if monitor.check_converged(params.be_verbose):
                     break
-        finish_iterations(params, total + 1, d)
+        finish_iterations(params, total + 1, d, monitor=monitor,
+                          solver="Geometry Optimization")
         return maybe_unpermute(params, d)
 
 

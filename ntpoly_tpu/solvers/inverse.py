@@ -20,7 +20,8 @@ def _hotelling(mat, params, monitor):
     x = alg.scale(balanced, sigma)
     if params.iters_per_sync > 1:
         x, total = _hotelling_chunked(x, balanced, imat, params, monitor)
-        finish_iterations(params, total, x)
+        finish_iterations(params, total, x, monitor=monitor,
+                          solver="Inverse Solver")
         return maybe_unpermute(params, x)
     total = 0
     with iteration_log(params) as ilog:
@@ -34,12 +35,12 @@ def _hotelling(mat, params, monitor):
                               1.0, -1.0, threshold=params.threshold)
             total = ii
             monitor.append(norm_value)
+            # the monitor's verbose check logs the per-iteration
+            # Convergence element itself (incl. the converged one)
             if monitor.check_converged(params.be_verbose):
                 break
-            if params.be_verbose:
-                logger.write_list_element(key="Convergence",
-                                          value=norm_value)
-    finish_iterations(params, total, x)
+    finish_iterations(params, total, x, monitor=monitor,
+                          solver="Inverse Solver")
     return maybe_unpermute(params, x)
 
 

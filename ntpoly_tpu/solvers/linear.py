@@ -34,7 +34,8 @@ def cg_solver(amat, bmat, params: SolverParameters | None = None):
 
         if params.iters_per_sync > 1:
             x, total = _cg_chunked(x, r, p, ab, params, monitor)
-            finish_iterations(params, total + 1, x)
+            finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Linear Solver")
             return maybe_unpermute(params, x)
 
         total = 0
@@ -53,7 +54,8 @@ def cg_solver(amat, bmat, params: SolverParameters | None = None):
                 monitor.append(norm_value)
                 if monitor.check_converged(params.be_verbose):
                     break
-        finish_iterations(params, total + 1, x)
+        finish_iterations(params, total + 1, x, monitor=monitor,
+                          solver="Linear Solver")
         return maybe_unpermute(params, x)
 
 

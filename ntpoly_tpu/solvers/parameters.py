@@ -35,6 +35,7 @@ class Monitor:
         self.loose_cutoff = loose_cutoff
         self.tight_cutoff = tight_cutoff
         self.automatic = automatic
+        self.converged = False          # set once check_converged fires
 
     def append(self, value: float):
         self.win_short = self.win_short[1:] + [float(value)]
@@ -50,6 +51,7 @@ class Monitor:
             if be_verbose:
                 with sub_log():
                     logger.write_element("Trigger", "Tight Criteria")
+            self.converged = True
             return True
         if not self.automatic:
             return False
@@ -76,6 +78,7 @@ class Monitor:
         if conv and be_verbose:
             with sub_log():
                 logger.write_element("Trigger", "Automatic")
+        self.converged = self.converged or conv
         return conv
 
 
@@ -90,6 +93,10 @@ class SolverParameters:
     balance_permutation: Optional[object] = None   # Permutation
     step_thresh: float = 1e-2
     monitor_convergence: bool = True
+    # Opt-in strictness: raise utils.errors.ConvergenceError when a solver
+    # exhausts max_iterations without its monitor firing (the reference
+    # logs totals and returns silently; strict callers want the raise).
+    raise_on_nonconvergence: bool = False
     # TPU-native extensions (absent in the reference): block capacity policy.
     k_out: Optional[int] = None          # slots per block-row for results
     row_chunk: Optional[int] = None      # SpGEMM accumulator chunking
@@ -98,6 +105,10 @@ class SolverParameters:
     # values amortize dispatch latency; the solve may overrun convergence
     # by up to iters_per_sync - 1 harmless extra iterations.
     iters_per_sync: int = 1
+    # Chunked-mode response when measured structural fill exceeds the
+    # pinned capacity: 'grow' (redo chunk at the needed capacity — the
+    # reference's never-drop pool growth), 'warn', 'raise', 'ignore'.
+    on_overflow: str = "grow"
 
     def copy(self) -> "SolverParameters":
         return replace(self)

@@ -117,7 +117,8 @@ def _inverse_root_implementation(mat, root: int, params):
             monitor.append(norm_value)
             if monitor.check_converged(params.be_verbose):
                 break
-    finish_iterations(params, total + 1, out)
+    finish_iterations(params, total + 1, out, monitor=monitor,
+                          solver="Root Solver")
 
     if root % 4 in (1, 3):
         tmp = alg.matmul(out, out, threshold=params.threshold)

@@ -29,7 +29,8 @@ def _core(mat, params, monitor, needs_transpose: bool):
 
     if params.iters_per_sync > 1 and not needs_transpose:
         out, total = _core_chunked(out, imat, xk, params, monitor)
-        finish_iterations(params, total + 1, out)
+        finish_iterations(params, total + 1, out, monitor=monitor,
+                          solver="Sign Solver")
         return maybe_unpermute(params, out)
     total = 0
     with iteration_log(params):
@@ -53,7 +54,8 @@ def _core(mat, params, monitor, needs_transpose: bool):
             monitor.append(norm_value)
             if monitor.check_converged(params.be_verbose):
                 break
-    finish_iterations(params, total + 1, out)
+    finish_iterations(params, total + 1, out, monitor=monitor,
+                          solver="Sign Solver")
     return maybe_unpermute(params, out)
 
 

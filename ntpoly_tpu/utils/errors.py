@@ -24,6 +24,13 @@ class IOFormatError(NTPolyError, ValueError):
     MatrixMarketModule.F90 ParseMMHeader error paths)."""
 
 
+class ComplexSupportError(NTPolyError, TypeError):
+    """Complex device arrays requested on a backend without native complex
+    arithmetic (XLA:TPU).  Use the api layer (``ntpoly_tpu.Matrix_ps``),
+    which routes complex data through the 2x2 real embedding automatically,
+    or embed manually via ``ntpoly_tpu.core.cplx``."""
+
+
 class ConvergenceError(NTPolyError, RuntimeError):
     """An iterative solver hit max_iterations without satisfying its
     convergence monitor."""

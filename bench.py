@@ -23,9 +23,24 @@ import time
 import numpy as np
 
 
-def _emit(metric, value, unit, vs_baseline=None):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": vs_baseline}), flush=True)
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _solve_stats(log_path):
+    """(iterations, method) parsed from the YAML solver trace."""
+    import yaml
+    try:
+        docs = yaml.safe_load(open(log_path))
+        for key, blk in (docs or {}).items():
+            if isinstance(blk, dict) and "Total Iterations" in blk:
+                return int(blk["Total Iterations"]), blk.get("Method")
+    except Exception:
+        pass
+    return None, None
 
 
 def _sync(mat):
@@ -70,14 +85,19 @@ def bench_spgemm(grid, on_cpu):
     k_out = alg.fill_bound(h, h)
     threshold = 1e-6
     reps = 20
+    method = alg._pick_method(h, h, k_out)
 
     # A compiled chain of multiplies — how every solver iteration runs
-    # (lax.while_loop / scan around matmul), so per-call dispatch latency
-    # is paid once, not per multiply.  Per-step alpha defeats CSE.
+    # (lax.scan around matmul), so per-call dispatch latency is paid once,
+    # not per multiply.  The OPERAND is scaled by the per-step scalar so
+    # XLA's while-loop invariant code motion cannot hoist any stage of the
+    # multiply out of the loop (r02's bench scaled only alpha, which let
+    # alpha-independent stages hoist and overstated throughput).
     @jax.jit
     def chain(x):
         def step(carry, aa):
-            c = alg.matmul(x, x, alpha=aa, threshold=threshold,
+            xs = x.with_data(x.col_ids, x.blocks * aa)
+            c = alg.matmul(xs, x, threshold=threshold,
                            k_out=k_out, on_overflow="truncate")
             return carry + c.blocks[0, 0, 0, 0, 0], None
         tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
@@ -88,13 +108,17 @@ def bench_spgemm(grid, on_cpu):
     c = alg.matmul(h, h, threshold=threshold, k_out=k_out,
                    on_overflow="truncate")
     float(chain(h))               # compile + settle
-    t0 = time.perf_counter()
-    float(chain(h))               # scalar readback barrier
-    dt = (time.perf_counter() - t0) / reps
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(h))           # scalar readback barrier
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / reps
 
     nnz = 2 * int(h.nnz) + int(c.nnz)
     value = nnz / dt
-    _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9)
+    _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9, method=method,
+          ms_per_multiply=dt * 1e3)
 
 
 def bench_hotelling(grid, on_cpu):

@@ -19,6 +19,7 @@ The container is a pytree; all ops are functional (return new PSMatrix).
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field, replace
 
@@ -366,28 +367,123 @@ def _local_shard_triplets(m: PSMatrix):
             np.concatenate(out_v) if out_v else np.zeros(0))
 
 
+def _flat_block_coo(m: PSMatrix):
+    """Device-side flatten to block-COO [Pc*NB*K] (rows, cols, blocks,
+    valid)."""
+    import jax.numpy as jnp
+    pc, nbr, k = m.col_ids.shape
+    rows = jnp.broadcast_to(
+        jnp.arange(nbr, dtype=jnp.int32)[None, :, None], (pc, nbr, k))
+    return (rows.reshape(-1), m.col_ids.reshape(-1),
+            m.blocks.reshape(-1, m.bs, m.bs),
+            (m.col_ids != EMPTY).reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rlim", "clim", "bs", "nb2", "pnb2", "panels", "k2", "row_off",
+    "col_off"))
+def _reblock_jit(rows, cols, blocks, valid, *, rlim, clim, bs, nb2, pnb2,
+                 panels, k2, row_off=0, col_off=0):
+    """Crop/shift block-COO into a new (nb2, pnb2) geometry, masking
+    elements beyond the row/col limits (block-aligned offsets)."""
+    rows = rows - row_off
+    cols = jnp.where(valid, cols - col_off, cols)
+    keep = valid & (rows >= 0) & (cols >= 0) & (rows < nb2) & (cols < nb2)
+    # element mask for blocks straddling the new boundary
+    r_el = rows[:, None] * bs + jnp.arange(bs)[None, :]       # [N, bs]
+    c_el = cols[:, None] * bs + jnp.arange(bs)[None, :]
+    blocks = (blocks * (r_el < rlim)[:, :, None].astype(blocks.dtype)
+              * (c_el < clim)[:, None, :].astype(blocks.dtype))
+    cols = jnp.where(keep, cols, EMPTY)
+    fill = jnp.max(jnp.zeros((panels, nb2), jnp.int32).at[
+        jnp.where(keep, cols // pnb2, 0),
+        jnp.where(keep, rows, 0)].add(keep.astype(jnp.int32), mode='drop'))
+    oc, ob = bell.from_block_coo(rows, cols, blocks, keep, nbr=nb2, k=k2,
+                                 panels=panels, panel_nbc=pnb2)
+    return oc, ob, fill
+
+
+def _rebuild_device(m: PSMatrix, new_dim: int, grid: ProcessGrid,
+                    row_off: int = 0, col_off: int = 0,
+                    rlim: int | None = None,
+                    clim: int | None = None) -> PSMatrix:
+    """Device-side regeometry: crop/shift/re-panel WITHOUT host triplet
+    round-trips (the host path is O(global nnz) per host; this one is XLA
+    gathers/sorts over the sharded arrays — reference does targeted sends,
+    PSMatrixModule.F90:1036-1227)."""
+    nb2, pnb2 = geometry(new_dim, m.bs, grid)
+    rlim = new_dim if rlim is None else rlim
+    clim = new_dim if clim is None else clim
+    rows, cols, blocks, valid = _flat_block_coo(m)
+    if grid != m.grid:
+        sh = grid.sharding(("rows", "cols", "slices"))
+        n = rows.shape[0]
+        pad = -n % grid.n_devices
+        if pad:
+            rows = jnp.pad(rows, (0, pad))
+            cols = jnp.pad(cols, (0, pad), constant_values=EMPTY)
+            blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+            valid = jnp.pad(valid, (0, pad))
+        rows, cols, blocks, valid = (
+            jax.device_put(rows, sh), jax.device_put(cols, sh),
+            jax.device_put(blocks, sh), jax.device_put(valid, sh))
+    # two passes: measure the exact per-(panel,row) fill, then build at
+    # that capacity (from_block_coo drops overflow silently)
+    _, _, fill = _reblock_jit(
+        rows, cols, blocks, valid, rlim=rlim, clim=clim, bs=m.bs, nb2=nb2,
+        pnb2=pnb2, panels=grid.cols, k2=1, row_off=row_off, col_off=col_off)
+    k2 = min(max(int(fill), 1), pnb2)
+    oc, ob, _ = _reblock_jit(
+        rows, cols, blocks, valid, rlim=rlim, clim=clim, bs=m.bs, nb2=nb2,
+        pnb2=pnb2, panels=grid.cols, k2=k2, row_off=row_off,
+        col_off=col_off)
+    sh = grid.matrix_sharding
+    return PSMatrix(jax.lax.with_sharding_constraint(oc, sh),
+                    jax.lax.with_sharding_constraint(ob, sh),
+                    new_dim, m.bs, grid)
+
+
 def resize(m: PSMatrix, new_dim: int) -> PSMatrix:
-    """ResizeMatrix (reference PSMatrixModule.F90): crop or zero-pad."""
+    """ResizeMatrix (reference PSMatrixModule.F90): crop or zero-pad.
+
+    Device-side in single-process runs (O(shard) per device); the host
+    triplet path remains for multi-process meshes, where cross-mesh
+    device_put is not available."""
+    from . import dist
+    if not dist.is_multiprocess():
+        return _rebuild_device(m, new_dim, m.grid)
     r, c, v = to_triplets(m)
     keep = (r < new_dim) & (c < new_dim)
     out = empty(new_dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=m.grid)
     return fill_from_triplets(out, r[keep], c[keep], v[keep])
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _shard_counts_jit(blocks, *, rows: int):
+    pc, nbr = blocks.shape[0], blocks.shape[1]
+    nz = jnp.sum((blocks != 0).reshape(pc, rows, nbr // rows, -1),
+                 axis=(2, 3))
+    return nz                                            # [Pc, rows]
+
+
 def load_balance_stats(m: PSMatrix) -> tuple[int, int]:
     """(min, max) stored nonzeros per mesh shard (reference
     GetMatrixLoadBalance, PSMatrixModule.F90:1394-1427 — min/max nnz per
-    rank; here a "rank" is one (rows, cols) mesh tile)."""
-    blk = np.asarray(m.blocks)                 # [P, NB, K, bs, bs]
-    rshards = np.array_split(np.arange(m.nb), m.grid.rows)
-    counts = [int(np.count_nonzero(blk[p][rs]))
-              for p in range(m.panels) for rs in rshards]
-    return min(counts), max(counts)
+    rank; here a "rank" is one (rows, cols) mesh tile).  Counts are
+    computed shard-locally on device; only the [cols, rows] int table
+    comes back to the host."""
+    counts = np.asarray(functools.partial(
+        _shard_counts_jit, rows=m.grid.rows)(m.blocks))
+    return int(counts.min()), int(counts.max())
 
 
 def set_grid(m: PSMatrix, grid: ProcessGrid) -> PSMatrix:
     """Move a matrix onto a different process grid (reference
-    SetMatrixProcessGrid, PSMatrixModule.F90:309-347)."""
+    SetMatrixProcessGrid, PSMatrixModule.F90:309-347).  Single-process:
+    device-side reshard + re-panel; multi-process: host triplet path."""
+    from . import dist
+    if not dist.is_multiprocess():
+        return _rebuild_device(m, m.dim, grid)
     r, c, v = to_triplets(m)
     out = empty(m.dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=grid)
     return fill_from_triplets(out, r, c, v)
@@ -407,11 +503,23 @@ def comm_split(m: PSMatrix):
 def get_slice(m: PSMatrix, start_row: int, end_row: int, start_col: int,
               end_col: int) -> PSMatrix:
     """GetMatrixSlice (reference PSMatrixModule.F90:1153-1227): extract a
-    sub-block as a new square PSMatrix (max of the two extents)."""
+    sub-block as a new square PSMatrix (max of the two extents).
+
+    Block-aligned slices in single-process runs stay on device; the
+    general (unaligned or multi-process) case re-blocks via host
+    triplets."""
+    from . import dist
+    new_dim = max(end_row - start_row, end_col - start_col)
+    aligned = (start_row % m.bs == 0 and start_col % m.bs == 0)
+    if aligned and not dist.is_multiprocess():
+        return _rebuild_device(m, new_dim, m.grid,
+                               row_off=start_row // m.bs,
+                               col_off=start_col // m.bs,
+                               rlim=end_row - start_row,
+                               clim=end_col - start_col)
     r, c, v = to_triplets(m)
     keep = ((r >= start_row) & (r < end_row)
             & (c >= start_col) & (c < end_col))
-    new_dim = max(end_row - start_row, end_col - start_col)
     out = empty(new_dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=m.grid)
     return fill_from_triplets(out, r[keep] - start_row, c[keep] - start_col,
                               v[keep])

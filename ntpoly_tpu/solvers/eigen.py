@@ -75,7 +75,8 @@ def dense_matrix_function(mat, func, params: SolverParameters | None = None):
 
 def eigen_decomposition_iterative(mat, nvals: int,
                                   params: SolverParameters | None = None,
-                                  max_iters: int = 200, tol: float = 0.0):
+                                  max_iters: int = 200,
+                                  tol: float | None = None):
     """Lowest ``nvals`` eigenpairs WITHOUT densifying the matrix.
 
     The reference escapes its dense O(N^2) eigensolver only through the
@@ -92,23 +93,34 @@ def eigen_decomposition_iterative(mat, nvals: int,
     import jax
     from jax.experimental.sparse.linalg import lobpcg_standard
 
+    if jnp.issubdtype(mat.dtype, jnp.complexfloating):
+        # jax's lobpcg_standard supports real symmetric operators only
+        raise NotImplementedError(
+            "iterative eigensolver is real-only (jax lobpcg limitation); "
+            "embed complex matrices first (core/cplx.py)")
     params, _ = resolve(params)
     with solver_log(params, "Eigen Solver", "LOBPCG (matrix-free)",
                     extra={"Requested Values": nvals}):
         _, b = alg.gershgorin_bounds(mat)
         b = b + 1.0
+        n = mat.logical_dim
+        # The search stays confined to the actual (unpadded) dimension by
+        # masking INSIDE the operator: any numeric leak into padded rows
+        # would otherwise make them spurious eigen-directions at exactly
+        # b.  Input must not be load-balanced (permuted into the padded
+        # region) — data there would be silently zeroed.
+        mask = (jnp.arange(n) < mat.dim)[:, None].astype(
+            mat.blocks.real.dtype)
 
         def op(x):
-            return b * x - alg.spmm(mat, x)
+            return (b * x - alg.spmm(mat, x)) * mask
 
-        n = mat.logical_dim
         # deterministic start block (reproducible across grids)
         key = jax.random.PRNGKey(7)
         x0 = jax.random.normal(key, (n, nvals), dtype=mat.blocks.real.dtype)
-        # padded rows of the operator are identically zero -> keep the
-        # search inside the actual dimension
-        mask = (jnp.arange(n) < mat.dim)[:, None].astype(x0.dtype)
         x0 = x0 * mask
+        # tol=None -> jax's machine-eps stopping rule (tol=0.0 would
+        # disable early exit entirely)
         theta, v, iters = lobpcg_standard(op, x0, m=max_iters, tol=tol)
         w = b - theta
         order = jnp.argsort(w)

@@ -11,9 +11,15 @@ import os
 import sys
 
 pid, nproc, workdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+devs_per_proc = sys.argv[4] if len(sys.argv) > 4 else "4"
+grid_shape = tuple(int(x) for x in (sys.argv[5] if len(sys.argv) > 5
+                                    else "2,2,2").split(","))
+mode = sys.argv[6] if len(sys.argv) > 6 else "distributed"
+port = sys.argv[7] if len(sys.argv) > 7 else "29517"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = \
+    f"--xla_force_host_platform_device_count={devs_per_proc}"
 
 import jax  # noqa: E402
 
@@ -26,7 +32,7 @@ import numpy as np  # noqa: E402
 
 from ntpoly_tpu.parallel import dist  # noqa: E402
 
-dist.initialize(coordinator_address="127.0.0.1:29517",
+dist.initialize(coordinator_address=f"127.0.0.1:{port}",
                 num_processes=nproc, process_id=pid)
 assert dist.is_multiprocess()
 
@@ -36,8 +42,23 @@ from ntpoly_tpu.parallel.grid import ProcessGrid  # noqa: E402
 from ntpoly_tpu.solvers import density  # noqa: E402
 from ntpoly_tpu.solvers.parameters import SolverParameters  # noqa: E402
 
-grid = ProcessGrid(2, 2, 2)           # all 8 global devices, 2 processes
-h = mm.read(os.path.join(workdir, "h.mtx"), bs=16, grid=grid)
+grid = ProcessGrid(*grid_shape)       # all global devices
+if mode == "prepartitioned":
+    # the O(nnz/P) scalable path end-to-end: every process reads the WHOLE
+    # small file but keeps only the triplets its own shards store
+    i, j, v, dim = mm.read_triplets(os.path.join(workdir, "h.mtx"))
+    base = PM.empty(dim, bs=16, dtype=np.float64, grid=grid)
+    bs, pnb = base.bs, base.panel_nb
+    owners = PM._shard_owners(base)
+    rows_per = PM._rows_per(base)
+    me = dist.process_index()
+    keep = np.zeros(len(i), bool)
+    for s in range(owners.shape[-1]):
+        keep |= owners[(j // bs) // pnb, (i // bs) // rows_per, s] == me
+    h = PM.fill_from_triplets(base, i[keep], j[keep], v[keep],
+                              mode="prepartitioned")
+else:
+    h = mm.read(os.path.join(workdir, "h.mtx"), bs=16, grid=grid)
 isq = PM.identity(h.dim, bs=16, dtype=h.dtype, grid=grid)
 params = SolverParameters(converge_diff=1e-9, threshold=1e-11,
                           iters_per_sync=4)

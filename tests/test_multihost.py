@@ -32,22 +32,22 @@ def _make_system(workdir, rng, dim=64):
     return w[:dim // 2].sum(), occ @ occ.T
 
 
-def test_two_process_mesh_trs4(tmp_path, rng):
-    e_ref, rho_ref = _make_system(tmp_path, rng)
+def _run_workers(tmp_path, nproc, devs, grid, mode, port):
     env = dict(os.environ)
     # process-level: sitecustomize initializes the backend at interpreter
     # startup, before the worker script runs
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "_multihost_worker.py"),
-             str(pid), "2", str(tmp_path)],
+             str(pid), str(nproc), str(tmp_path), str(devs), grid, mode,
+             str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -60,9 +60,27 @@ def test_two_process_mesh_trs4(tmp_path, rng):
             if line.startswith("MHENERGY"):
                 _, pid, e, mu = line.split()
                 energies[int(pid)] = float(e)
-    assert len(energies) == 2, outs
-    assert abs(energies[0] - energies[1]) < 1e-9
-    assert abs(energies[0] - e_ref) < 1e-6 * abs(e_ref)
+    assert len(energies) == nproc, outs
+    return energies
+
+
+@pytest.mark.parametrize("nproc,devs,grid,mode,port", [
+    (2, 4, "2,2,2", "distributed", 29517),
+    (4, 2, "2,2,2", "prepartitioned", 29531),
+    (4, 2, "4,2,1", "distributed", 29547),
+], ids=["2proc-distributed", "4proc-prepartitioned", "4proc-asym-grid"])
+def test_multi_process_mesh_trs4(tmp_path, rng, nproc, devs, grid, mode,
+                                 port):
+    """OS processes x CPU devices form one global mesh (multi-host
+    emulation): byte-range IO + owner-routed fill ('distributed') or the
+    O(nnz/P) 'prepartitioned' path, TRS4 to convergence, root write-back
+    (reference alltoallv fill + MPI-IO,
+    distributed_includes/FillMatrixFromTripletList.f90)."""
+    e_ref, rho_ref = _make_system(tmp_path, rng)
+    energies = _run_workers(tmp_path, nproc, devs, grid, mode, port)
+    vals = list(energies.values())
+    assert max(vals) - min(vals) < 1e-9
+    assert abs(vals[0] - e_ref) < 1e-6 * abs(e_ref)
     # the root-only collective write-back must carry the full density
     from scipy.io import mmread
     rho = np.asarray(mmread(str(tmp_path / "rho_mh.mtx")).todense())

@@ -165,6 +165,42 @@ def bench_trs4(grid, on_cpu):
     _emit("trs4_10k_wall_s", time.perf_counter() - t0, "s")
 
 
+def bench_trs4_100k(grid, on_cpu):
+    """Six-figure-dimension purification on the single chip (the spirit of
+    BASELINE config 5's >1M-row multi-host target on the hardware that
+    exists): TRS4 wall-time-to-tolerance on a 102,400-row gapped chain.
+
+    Emits iterations, s/iteration, and solve-phase nnz/s so a convergence
+    regression is distinguishable from a kernel regression."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.solvers import density
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    from ntpoly_tpu.utils.logging import activate_logger, deactivate_logger
+    import tempfile
+    import os
+
+    dim = 4096 if on_cpu else 102400
+    bs = 32 if on_cpu else 128
+    h = _fill(dim, bs, grid, *_gapped_chain(dim, bandwidth=16))
+    isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
+    nel = dim // 2
+    params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
+                              iters_per_sync=8, be_verbose=True)
+    log = os.path.join(tempfile.mkdtemp(), "trs4.yaml")
+    activate_logger(log)
+    t0 = time.perf_counter()
+    rho, energy, mu = density.trs4(h, isq, float(nel), params)
+    _sync(rho)
+    wall = time.perf_counter() - t0
+    deactivate_logger()
+    iters, _ = _solve_stats(log)
+    nnz_per_mult = 2 * int(h.nnz) + int(rho.nnz)
+    extra = dict(dim=dim, iterations=iters,
+                 s_per_iteration=(wall / iters) if iters else None,
+                 rho_nnz=int(rho.nnz))
+    _emit("trs4_100k_wall_s", wall, "s", **extra)
+
+
 def bench_complex_isq_sign(grid, on_cpu):
     """BASELINE config 3: inverse square root + sign function on an
     ill-conditioned complex Hermitian overlap.
@@ -240,12 +276,13 @@ CONFIGS = {
     "spgemm": bench_spgemm,
     "hotelling": bench_hotelling,
     "trs4": bench_trs4,
+    "trs4_100k": bench_trs4_100k,
     "complex": bench_complex_isq_sign,
     "cheby": bench_cheby_exp_log,
 }
 
 # Printed order: headline LAST (the driver parses the last JSON line).
-ORDER = ["hotelling", "trs4", "complex", "cheby", "spgemm"]
+ORDER = ["hotelling", "trs4", "trs4_100k", "complex", "cheby", "spgemm"]
 
 
 def run_one(name):

@@ -169,6 +169,105 @@ def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
 ROW_CHUNK = 1024
 
 
+def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch
+               arow_ref,                           # [1, KA, bs, bs] VMEM
+               bpan_hbm,                           # [NBK, bs, KB*bs] HBM
+               oblk_ref,                           # [1, k_out, bs, bs] VMEM
+               bbuf, sem,                          # scratch
+               *, ka: int, kb: int, k_out: int, nbk: int):
+    """One grid step per block-row; B rows stream through a manually
+    double-buffered VMEM scratch so the DMA for slot s+1 (and the next
+    row's slot 0) overlaps the MXU work of slot s — the gather-BlockSpec
+    version serialized the stream against compute (measured: kernel time
+    == matmul + stream, zero overlap)."""
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    bs = arow_ref.shape[-1]
+
+    def copy_for(row, s, slot):
+        k = jnp.minimum(acols_ref[row, s], nbk - 1)
+        return pltpu.make_async_copy(bpan_hbm.at[k], bbuf.at[slot],
+                                     sem.at[slot])
+
+    # slots alternate by GLOBAL step (r*ka + s) so the cross-row prefetch
+    # lands in the slot the next row's s=0 will wait on (ka may be odd)
+    def slot_of(row, s):
+        return (row * ka + s) % 2
+
+    @pl.when(r == 0)
+    def _():
+        copy_for(0, 0, 0).start()
+
+    oblk_ref[...] = jnp.zeros_like(oblk_ref)
+
+    for s in range(ka):
+        slot = slot_of(r, s)
+        nxt = slot_of(r, s + 1)
+        if s + 1 < ka:
+            copy_for(r, s + 1, nxt).start()
+        else:
+            # prefetch the NEXT row's first B row while this row's last
+            # matmul runs (re-targeted to row n-1 at the final row)
+            copy_for(jnp.minimum(r + 1, n_rows - 1), 0, nxt).start()
+        copy_for(r, s, slot).wait()
+
+        @pl.when(acols_ref[r, s] != EMPTY)
+        def _():
+            part = jnp.dot(arow_ref[0, s], bbuf[slot],
+                           preferred_element_type=oblk_ref.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            for t in range(kb):
+                g = plan_ref[r, s * kb + t]
+
+                @pl.when(g < k_out)
+                def _():
+                    oblk_ref[0, g] += part[:, t * bs:(t + 1) * bs]
+
+    scaled = oblk_ref[0] * scal_ref[0]
+    oblk_ref[0] = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+    # drain the cross-row prefetch at the last row
+    @pl.when(r == n_rows - 1)
+    def _():
+        copy_for(r, 0, slot_of(r + 1, 0)).wait()
+
+
+def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
+                    *, kb: int, nbk: int, k_out: int,
+                    interpret: bool = False):
+    R, KA = a_cols.shape
+    bs = a_blocks.shape[-1]
+    dt = a_blocks.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, KA, bs, bs), lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, k_out, bs, bs),
+                               lambda r, *_: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, kb * bs), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_v2, ka=KA, kb=kb, k_out=k_out,
+                               nbk=nbk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=R * KA * 2 * bs * bs * kb * bs,
+            bytes_accessed=(R * KA * bs * bs + R * KA * kb * bs * bs
+                            + R * k_out * bs * bs) * dt.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(a_cols, plan, scal, a_blocks, b_panel)
+
+
 def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
                  *, kb: int, nbk: int, k_out: int, interpret: bool):
     """Numeric pass as a fully pipelined pallas pipeline: grid (R, KA); the

@@ -95,7 +95,8 @@ def eigen_decomposition_iterative(mat, nvals: int,
 
     if jnp.issubdtype(mat.dtype, jnp.complexfloating):
         # jax's lobpcg_standard supports real symmetric operators only
-        raise NotImplementedError(
+        from ..utils.errors import ComplexSupportError
+        raise ComplexSupportError(
             "iterative eigensolver is real-only (jax lobpcg limitation); "
             "embed complex matrices first (core/cplx.py)")
     params, _ = resolve(params)

@@ -66,8 +66,8 @@ def _ns_order2(mat, params, compute_inverse):
                     monitor.append(norm_value)
                     if monitor.check_converged(params.be_verbose):
                         break
-        finish_iterations(params, total + 1, z if compute_inverse else y, monitor=monitor,
-                          solver="Square Root Solver")
+        finish_iterations(params, total + 1, z if compute_inverse else y,
+                          monitor=monitor, solver="Square Root Solver")
         out = z if compute_inverse else y
         return maybe_unpermute(params, out)
 
@@ -140,8 +140,8 @@ def _ns_taylor(mat, params, order, compute_inverse):
                 monitor.append(norm_value)
                 if monitor.check_converged(params.be_verbose):
                     break
-        finish_iterations(params, total + 1, z if compute_inverse else y, monitor=monitor,
-                          solver="Square Root Solver")
+        finish_iterations(params, total + 1, z if compute_inverse else y,
+                          monitor=monitor, solver="Square Root Solver")
         sq = math.sqrt(lam)
         out = alg.scale(z, sq) if compute_inverse else alg.scale(y, 1.0 / sq)
         return maybe_unpermute(params, out)

@@ -124,3 +124,33 @@ def test_eligible_gates():
     assert not eligible(np.float64, 128, 11, 5, 5)
     assert not eligible(np.float32, 100, 11, 5, 5)
     assert not eligible(np.float32, 128, 500, 5, 5)   # VMEM blowout
+
+
+def test_kernel_v2_matches_v1(rng):
+    """The manual-DMA kernel (grid over rows, double-buffered B stream)
+    must produce bit-identical output to the gather-BlockSpec kernel."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ntpoly_tpu.ops import spgemm_pallas as sp
+    from ntpoly_tpu.config import EMPTY
+    bs = 8
+    for (R, K, k_out) in [(8, 3, 6), (5, 5, 4), (16, 2, 5)]:
+        def rand_ell(nbk):
+            cols = np.full((R, K), EMPTY, np.int32)
+            blocks = np.zeros((R, K, bs, bs), np.float32)
+            for r in range(R):
+                nk = int(rng.integers(1, K + 1))
+                cols[r, :nk] = np.sort(rng.choice(nbk, nk, replace=False))
+                blocks[r, :nk] = rng.standard_normal((nk, bs, bs))
+            return jnp.asarray(cols), jnp.asarray(blocks)
+        ac, ab = rand_ell(R)
+        bc, bb = rand_ell(R)
+        plan, occ, ucnt = jax.jit(
+            sp.structure_plan, static_argnames="k_out")(ac, bc, k_out)
+        b_panel = jnp.swapaxes(bb, -3, -2).reshape(R, bs, K * bs)
+        scal = jnp.asarray([1.5, 1e-9], jnp.float32)
+        kw = dict(kb=K, nbk=R, k_out=k_out, interpret=True)
+        v1 = sp._call_kernel(ac, plan, scal, ab, b_panel, **kw)
+        v2 = sp._call_kernel_v2(ac, plan, scal, ab, b_panel, **kw)
+        assert np.array_equal(np.asarray(v1), np.asarray(v2))

@@ -84,36 +84,45 @@ def bench_spgemm(grid, on_cpu):
     # sizes its memory pool the same way, GemmMatrix.f90:48-56).
     k_out = alg.fill_bound(h, h)
     threshold = 1e-6
-    reps = 20
+    reps = 20 if on_cpu else 40
     method = alg._pick_method(h, h, k_out)
 
     # A compiled chain of multiplies — how every solver iteration runs
-    # (lax.scan around matmul), so per-call dispatch latency is paid once,
-    # not per multiply.  The OPERAND is scaled by the per-step scalar so
-    # XLA's while-loop invariant code motion cannot hoist any stage of the
-    # multiply out of the loop (r02's bench scaled only alpha, which let
-    # alpha-independent stages hoist and overstated throughput).
-    @jax.jit
-    def chain(x):
-        def step(carry, aa):
-            xs = x.with_data(x.col_ids, x.blocks * aa)
-            c = alg.matmul(xs, x, threshold=threshold,
-                           k_out=k_out, on_overflow="truncate")
-            return carry + c.blocks[0, 0, 0, 0, 0], None
-        tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
-                              jnp.linspace(1.0, 2.0, reps,
-                                           dtype=jnp.float32))
-        return tot
+    # (lax.scan around matmul).  Two methodology rules learned the hard
+    # way: (1) the OPERAND is scaled by the per-step scalar so XLA's
+    # while-loop invariant code motion cannot hoist any stage out of the
+    # loop (r02 scaled only alpha and overstated throughput); (2) the
+    # per-multiply time is the SLOPE between an n-step and a 3n-step
+    # chain, which cancels the tunneled backend's large variable
+    # dispatch+readback floor exactly (r02 divided one call by n and
+    # understated throughput by the floor/n).
+    def chain_fn(n):
+        @jax.jit
+        def chain(x):
+            def step(carry, aa):
+                xs = x.with_data(x.col_ids, x.blocks * aa)
+                c = alg.matmul(xs, x, threshold=threshold,
+                               k_out=k_out, on_overflow="truncate")
+                return carry + c.blocks[0, 0, 0, 0, 0], None
+            tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                                  jnp.linspace(1.0, 2.0, n,
+                                               dtype=jnp.float32))
+            return tot
+        return chain
 
     c = alg.matmul(h, h, threshold=threshold, k_out=k_out,
                    on_overflow="truncate")
-    float(chain(h))               # compile + settle
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain(h))           # scalar readback barrier
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / reps
+    totals = {}
+    for n in (reps, 3 * reps):
+        fn = chain_fn(n)
+        float(fn(h))              # compile + settle
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(h))          # scalar readback barrier
+            times.append(time.perf_counter() - t0)
+        totals[n] = min(times)
+    dt = (totals[3 * reps] - totals[reps]) / (2 * reps)
 
     nnz = 2 * int(h.nnz) + int(c.nnz)
     value = nnz / dt
@@ -133,14 +142,26 @@ def bench_hotelling(grid, on_cpu):
     v = np.where(i == j, 2.0 + v, 0.05 * v).astype(np.float32)
     s = _fill(dim, 128 if not on_cpu else 32, grid, i, j, v)
     # pin capacity: static shapes -> one compile per op for the whole solve
+    import os
+    import tempfile
+    from ntpoly_tpu.utils.logging import activate_logger, deactivate_logger
     params = SolverParameters(converge_diff=1e-6, threshold=1e-8,
                               k_out=min(s.panel_nb, 8 * s.k),
-                              iters_per_sync=8)
+                              iters_per_sync=8, be_verbose=True)
+    from ntpoly_tpu.parallel import algebra as alg
+    method = alg._pick_method(s, s, params.k_out)
     inverse.invert(s, params)            # warm caches
+    log = os.path.join(tempfile.mkdtemp(), "log.yaml")
+    activate_logger(log)
     t0 = time.perf_counter()
     inv = inverse.invert(s, params)
     _sync(inv)
-    _emit("hotelling_invert_s", time.perf_counter() - t0, "s")
+    wall = time.perf_counter() - t0
+    deactivate_logger()
+    iters, _ = _solve_stats(log)
+    _emit("hotelling_invert_s", wall, "s", method=method,
+          iterations=iters,
+          s_per_iteration=(wall / iters) if iters else None)
 
 
 def bench_trs4(grid, on_cpu):
@@ -155,14 +176,25 @@ def bench_trs4(grid, on_cpu):
     h = _fill(dim, bs, grid, *_gapped_chain(dim, bandwidth=16))
     isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
     nel = dim // 2                       # half filling: mu in the gap
+    import os
+    import tempfile
+    from ntpoly_tpu.parallel import algebra as alg
+    from ntpoly_tpu.utils.logging import activate_logger, deactivate_logger
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
                               k_out=min(h.panel_nb, 8 * h.k),
-                              iters_per_sync=8)
+                              iters_per_sync=8, be_verbose=True)
+    method = alg._pick_method(h, h, params.k_out)
     _sync(density.trs4(h, isq, float(nel), params)[0])   # warm compiles
+    log = os.path.join(tempfile.mkdtemp(), "log.yaml")
+    activate_logger(log)
     t0 = time.perf_counter()
     rho, energy, mu = density.trs4(h, isq, float(nel), params)
     _sync(rho)
-    _emit("trs4_10k_wall_s", time.perf_counter() - t0, "s")
+    wall = time.perf_counter() - t0
+    deactivate_logger()
+    iters, _ = _solve_stats(log)
+    _emit("trs4_10k_wall_s", wall, "s", method=method, iterations=iters,
+          s_per_iteration=(wall / iters) if iters else None)
 
 
 def bench_trs4_100k(grid, on_cpu):
@@ -186,6 +218,11 @@ def bench_trs4_100k(grid, on_cpu):
     nel = dim // 2
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
                               iters_per_sync=8, be_verbose=True)
+    # warm: one chunk compiles the whole iteration graph at these shapes
+    warm = params.copy()
+    warm.be_verbose = False
+    warm.max_iterations = warm.iters_per_sync
+    _sync(density.trs4(h, isq, float(nel), warm)[0])
     log = os.path.join(tempfile.mkdtemp(), "trs4.yaml")
     activate_logger(log)
     t0 = time.perf_counter()
@@ -232,6 +269,8 @@ def bench_complex_isq_sign(grid, on_cpu):
     params = SolverParameters(converge_diff=1e-6, threshold=1e-9,
                               k_out=min(s.panel_nb, 8 * s.k),
                               iters_per_sync=8)
+    from ntpoly_tpu.parallel import algebra as alg
+    method = alg._pick_method(s, s, params.k_out)
     _sync(squareroot.inverse_square_root(s, params))     # warm compiles
     _sync(sign.sign_function(s, params))
     t0 = time.perf_counter()
@@ -239,7 +278,8 @@ def bench_complex_isq_sign(grid, on_cpu):
     _sync(isq)
     sg = sign.sign_function(s, params)
     _sync(sg)
-    _emit("complex_isq_sign_wall_s", time.perf_counter() - t0, "s")
+    _emit("complex_isq_sign_wall_s", time.perf_counter() - t0, "s",
+          method=method)
 
 
 def bench_cheby_exp_log(grid, on_cpu):
@@ -261,6 +301,8 @@ def bench_cheby_exp_log(grid, on_cpu):
                 (-0.25 * vals).astype(np.float32))
     params = SolverParameters(threshold=1e-9,
                               k_out=min(lap.panel_nb, 16 * lap.k))
+    from ntpoly_tpu.parallel import algebra as alg
+    method = alg._pick_method(lap, lap, params.k_out)
     emat = exponential.compute_exponential(lap, params)  # warm compiles
     _sync(emat)
     _sync(exponential.compute_logarithm(emat, params))
@@ -269,7 +311,8 @@ def bench_cheby_exp_log(grid, on_cpu):
     _sync(emat)
     lmat = exponential.compute_logarithm(emat, params)
     _sync(lmat)
-    _emit("cheby_exp_log_wall_s", time.perf_counter() - t0, "s")
+    _emit("cheby_exp_log_wall_s", time.perf_counter() - t0, "s",
+          method=method)
 
 
 CONFIGS = {
@@ -317,14 +360,15 @@ def main():
 
     # headline first in execution (most important to complete), last in
     # output
+    budget = {"spgemm": 540, "trs4_100k": 1200}
     for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
-        attempt(name, 540 if name == "spgemm" else 360)
+        attempt(name, budget.get(name, 360))
     # the tunneled backend's compile stalls are transient: one retry pass
     # for anything that timed out (caches warmed by the first attempt
     # survive server-side)
     for name in ORDER:
         if name not in lines:
-            attempt(name, 540)
+            attempt(name, max(540, budget.get(name, 0)))
     for name in ORDER:
         if name in lines:
             print(lines[name], flush=True)

@@ -26,11 +26,43 @@ def _triplet_dtype(is_complex: bool):
 
 
 def write(mat: PM.PSMatrix, file_name: str):
+    """Write the checkpoint.  Multi-process: COLLECTIVE — every process
+    pwrites its own shards' fixed-size records at an exclusive byte
+    offset computed from an allgather of the per-rank counts (the
+    reference's MPI-IO collective write,
+    distributed_includes/WriteMatrixToBinary.f90); rank 0 writes the
+    header.  Requires a shared filesystem, like the reference."""
     from ..parallel import dist
-    r, c, v = PM.to_triplets(mat)       # collective in multi-process runs
-    if dist.is_multiprocess() and dist.process_index() != 0:
+    if not dist.is_multiprocess():
+        r, c, v = PM.to_triplets(mat)
+        write_triplets(file_name, r, c, v, mat.dim)
         return
-    write_triplets(file_name, r, c, v, mat.dim)
+    from jax.experimental import multihost_utils as mhu
+    r, c, v = PM.to_triplets(mat, local=True)     # O(nnz/P) per process
+    is_complex = bool(np.iscomplexobj(mat.blocks))
+    counts = np.asarray(mhu.process_allgather(
+        np.asarray([len(v)], np.int64))).reshape(-1)
+    me = dist.process_index()
+    offset = int(counts[:me].sum())
+    total = int(counts.sum())
+    dt = _triplet_dtype(is_complex)
+    if me == 0:
+        header = np.zeros(1, _HEADER_DTYPE)
+        header["magic"], header["is_complex"] = MAGIC, is_complex
+        header["rows"] = header["cols"] = mat.dim
+        header["nnz"] = total
+        with open(file_name, "wb") as f:
+            header.tofile(f)
+            # pre-size so concurrent pwrites land inside the file
+            f.truncate(_HEADER_DTYPE.itemsize + total * dt.itemsize)
+    # rank 0 must create the file before others write into it
+    mhu.sync_global_devices("binary_write_header")
+    recs = np.empty(len(v), dt)
+    recs["row"], recs["col"], recs["val"] = r, c, v
+    with open(file_name, "r+b") as f:
+        f.seek(_HEADER_DTYPE.itemsize + offset * dt.itemsize)
+        f.write(recs.tobytes())
+    mhu.sync_global_devices("binary_write_done")
 
 
 def write_triplets(file_name: str, r, c, v, dim: int):

@@ -191,11 +191,21 @@ def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
 
 def write(mat: PM.PSMatrix, file_name: str):
     """Write coordinate-general MM (reference WriteMatrixToMatrixMarket).
-    Multi-process: the gather is collective, the write is root-only."""
+
+    Multi-process: every process routes its OWNED triplets to rank 0
+    (device all-to-all), which alone formats the text — O(nnz/P) on
+    non-root hosts, O(nnz) only at the writer (text lines have variable
+    width, so offsets can't be precomputed like the binary format's)."""
     from ..parallel import dist
-    r, c, v = PM.to_triplets(mat)
-    if dist.is_multiprocess() and dist.process_index() != 0:
-        return
+    if dist.is_multiprocess():
+        import numpy as _np
+        r, c, v = PM.to_triplets(mat, local=True)
+        r, c, v = dist.exchange_triplets(
+            r, c, v, _np.zeros(len(r), _np.int64))
+        if dist.process_index() != 0:
+            return
+    else:
+        r, c, v = PM.to_triplets(mat)
     write_triplets(file_name, r, c, v, mat.dim)
 
 

@@ -130,7 +130,7 @@ def structure_plan(a_cols: Array, b_cols: Array, k_out: int
 
 def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
             ablk_ref, bpan_ref,                    # pipelined VMEM inputs
-            oblk_ref,                              # pipelined VMEM output
+            oblk_ref, nrm_ref,                     # pipelined VMEM outputs
             *, ka: int, kb: int, k_out: int):
     r = pl.program_id(0)
     s = pl.program_id(1)
@@ -156,23 +156,34 @@ def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
 
     # Finalize on the last A slot: alpha scale + elementwise threshold
     # flush (PruneList's rule, reference sparse_includes/PruneList.f90)
-    # while the row is still VMEM-resident.
+    # while the row is still VMEM-resident, plus lane-partial block norms
+    # (sublane-reduced; shape (k_out, bs) keeps Mosaic's tiling rules) so
+    # the epilogue never re-reads the block tensor.
     @pl.when(s == ka - 1)
     def _():
         scaled = oblk_ref[0] * scal_ref[0]
-        oblk_ref[0] = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+        flushed = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+        oblk_ref[0] = flushed
+        nrm_ref[0] = jnp.sum(jnp.abs(flushed), axis=1)
 
 
 # Per-row int32 metadata (a_cols, merge plan) lives in SMEM via scalar
-# prefetch; chunk the row dimension so the SMEM footprint stays bounded for
-# large matrices.
+# prefetch; the row dimension is chunked so the per-call prefetch bytes
+# stay under a conservative budget (SMEM is ~1 MB and Mosaic double
+# -buffers; a 100k-dim solve at KA=KB=9 blew it with a fixed 1024 chunk).
 ROW_CHUNK = 1024
+SMEM_PREFETCH_BUDGET = 96 * 1024
+
+
+def _row_chunk(ka: int, kb: int) -> int:
+    per_row = 4 * (ka + ka * kb)
+    return max(32, min(ROW_CHUNK, SMEM_PREFETCH_BUDGET // per_row))
 
 
 def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch
                arow_ref,                           # [1, KA, bs, bs] VMEM
                bpan_hbm,                           # [NBK, bs, KB*bs] HBM
-               oblk_ref,                           # [1, k_out, bs, bs] VMEM
+               oblk_ref, nrm_ref,                  # pipelined VMEM outputs
                bbuf, sem,                          # scratch
                *, ka: int, kb: int, k_out: int, nbk: int):
     """One grid step per block-row; B rows stream through a manually
@@ -224,7 +235,10 @@ def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch
                     oblk_ref[0, g] += part[:, t * bs:(t + 1) * bs]
 
     scaled = oblk_ref[0] * scal_ref[0]
-    oblk_ref[0] = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+    flushed = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+    oblk_ref[0] = flushed
+    nrm_ref[0] = jnp.sum(jnp.abs(flushed), axis=1)
+
     # drain the cross-row prefetch at the last row
     @pl.when(r == n_rows - 1)
     def _():
@@ -245,9 +259,12 @@ def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),          # B stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, k_out, bs, bs),
-                               lambda r, *_: (r, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, k_out, bs, bs), lambda r, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out, bs), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, bs, kb * bs), dt),
             pltpu.SemaphoreType.DMA((2,)),
@@ -258,7 +275,8 @@ def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+        out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+                   jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(
             flops=R * KA * 2 * bs * bs * kb * bs,
             bytes_accessed=(R * KA * bs * bs + R * KA * kb * bs * bs
@@ -293,15 +311,20 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
                     jnp.minimum(acols[r, s], nbk - 1), 0, 0),
                 memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k_out, bs, bs),
-                               lambda r, s, *_: (r, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, k_out, bs, bs),
+                         lambda r, s, *_: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out, bs), lambda r, s, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
     )
     kernel = functools.partial(_kernel, ka=KA, kb=kb, k_out=k_out)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+        out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+                   jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(
             flops=R * KA * 2 * bs * bs * kb * bs,
             bytes_accessed=(R * KA * bs * bs + R * KA * kb * bs * bs
@@ -352,18 +375,23 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
                       jnp.asarray(threshold, jnp.float32)]).astype(dt)
 
-    cbs = []
-    for lo in range(0, R, ROW_CHUNK):
-        hi = min(lo + ROW_CHUNK, R)
-        cbs.append(_call_kernel(
+    cbs, nps = [], []
+    chunk = _row_chunk(KA, KB)
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        cb_i, np_i = _call_kernel(
             a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
-            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret))
+            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret)
+        cbs.append(cb_i)
+        nps.append(np_i)
     cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)
+    npart = nps[0] if len(nps) == 1 else jnp.concatenate(nps, axis=0)
 
     # Metadata-only epilogue: mark slots whose whole block flushed to zero
-    # EMPTY in place (one fused read of the output; no gather/sort/move —
-    # the kernel's block output IS the result).
-    nm = jnp.sum(jnp.abs(cb), axis=(-1, -2))
+    # EMPTY in place.  The kernel already emitted sublane-reduced norm
+    # partials, so this reads k_out*bs floats per row — never the block
+    # tensor.
+    nm = jnp.sum(npart, axis=-1)
     cc = jnp.where(nm > 0, occp, EMPTY)
     return cc, cb, ucnt
 

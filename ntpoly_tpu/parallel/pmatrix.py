@@ -179,7 +179,10 @@ def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
                 "(reference holds complex natively, "
                 "PSMatrixModule.F90:1673-1703)")
     nb, pnb = geometry(dim, bs, grid)
-    k = min(k or pnb, pnb)
+    # default capacity 1, NOT pnb: fills grow k to exactly what the data
+    # needs, while a full-capacity default allocates nb*pnb blocks — 42 GB
+    # for an (unfilled!) 100k-dim identity at bs=128
+    k = min(k or 1, pnb)
     z = np.zeros(0, np.int64)
     col_ids, blocks = _build_sharded(
         grid, nb, k, bs, dtype, z, z, z, z,
@@ -317,9 +320,12 @@ def to_dense(m: PSMatrix, actual: bool = True) -> jax.Array:
 def to_triplets(m: PSMatrix, local: bool = False):
     """PSMatrix -> (rows, cols, vals) numpy triplets of stored nonzeros.
 
-    Multi-process: gathers each host's addressable shards, then the union
-    over hosts (``local=True`` skips the union, returning only this host's
-    triplets — the counterpart of the 'prepartitioned' fill mode)."""
+    Multi-process: gathers each host's OWNED (slice-0 replica) shards,
+    then the union over hosts — ownership filtering prevents slice
+    replicas held by different processes from double-counting.
+    ``local=True`` skips the union, returning only this host's owned
+    triplets (each stored entry appears on exactly one host — the basis
+    of the collective checkpoint write)."""
     from . import dist
     if dist.is_multiprocess():
         r, c, v = _local_shard_triplets(m)
@@ -339,12 +345,17 @@ def to_triplets(m: PSMatrix, local: bool = False):
 
 
 def _local_shard_triplets(m: PSMatrix):
-    """Triplets stored in this process's addressable shards (deduplicated —
-    'slices' replication makes several devices hold the same panel)."""
+    """Triplets stored in this process's OWNED shards: the slice-0
+    replica, so that across processes every stored entry appears exactly
+    once ('slices' replication can place copies of one logical shard on
+    different processes)."""
+    slice0 = {d.id for d in np.asarray(m.grid.mesh.devices)[:, :, 0].flat}
     seen = set()
     out_r, out_c, out_v = [], [], []
     for cid_sh, blk_sh in zip(m.col_ids.addressable_shards,
                               m.blocks.addressable_shards):
+        if cid_sh.device.id not in slice0:
+            continue
         key = (cid_sh.index[0].start, cid_sh.index[1].start)
         if key in seen:
             continue

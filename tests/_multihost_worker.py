@@ -64,8 +64,11 @@ params = SolverParameters(converge_diff=1e-9, threshold=1e-11,
                           iters_per_sync=4)
 rho, energy, mu = density.trs4(h, isq, float(h.dim // 2), params)
 
-# write-back exercises the collective gather + root-only write
-rho_path = os.path.join(workdir, "rho_mh.mtx")
-mm.write(rho, rho_path)
+# write-back exercises the route-to-root MM write AND the collective
+# (every-rank pwrite) binary checkpoint
+from ntpoly_tpu.io import binary  # noqa: E402
+
+mm.write(rho, os.path.join(workdir, "rho_mh.mtx"))
+binary.write(rho, os.path.join(workdir, "rho_mh.bin"))
 
 print(f"MHENERGY {pid} {float(energy):.12f} {float(mu):.8f}", flush=True)

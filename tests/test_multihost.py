@@ -81,10 +81,18 @@ def test_multi_process_mesh_trs4(tmp_path, rng, nproc, devs, grid, mode,
     vals = list(energies.values())
     assert max(vals) - min(vals) < 1e-9
     assert abs(vals[0] - e_ref) < 1e-6 * abs(e_ref)
-    # the root-only collective write-back must carry the full density
+    # the route-to-root MM write must carry the full density
     from scipy.io import mmread
     rho = np.asarray(mmread(str(tmp_path / "rho_mh.mtx")).todense())
     assert (np.linalg.norm(rho - rho_ref) / np.linalg.norm(rho_ref)) < 1e-6
+    # ... and the collective binary write (every rank pwrites its own
+    # byte range) must round-trip to the same matrix
+    from ntpoly_tpu.io import binary
+    i, j, v, dim = binary.read_triplets(str(tmp_path / "rho_mh.bin"))
+    rho_b = np.zeros((dim, dim))
+    np.add.at(rho_b, (i, j), v.real)
+    assert (np.linalg.norm(rho_b - rho_ref)
+            / np.linalg.norm(rho_ref)) < 1e-6
 
 
 def test_byte_range_read_partitions_exactly(tmp_path, rng):

@@ -151,6 +151,7 @@ def test_kernel_v2_matches_v1(rng):
         b_panel = jnp.swapaxes(bb, -3, -2).reshape(R, bs, K * bs)
         scal = jnp.asarray([1.5, 1e-9], jnp.float32)
         kw = dict(kb=K, nbk=R, k_out=k_out, interpret=True)
-        v1 = sp._call_kernel(ac, plan, scal, ab, b_panel, **kw)
-        v2 = sp._call_kernel_v2(ac, plan, scal, ab, b_panel, **kw)
+        v1, n1 = sp._call_kernel(ac, plan, scal, ab, b_panel, **kw)
+        v2, n2 = sp._call_kernel_v2(ac, plan, scal, ab, b_panel, **kw)
         assert np.array_equal(np.asarray(v1), np.asarray(v2))
+        assert np.array_equal(np.asarray(n1), np.asarray(n2))

@@ -181,18 +181,23 @@ def _k_bucket(n: int, cap: int) -> int:
 def _pick_method(a: PSMatrix, b: PSMatrix, k_out: int) -> str:
     """The density-heuristic dispatch (analogue of reference
     sparse_includes/GemmMatrix.f90:58-61 + DenseBranch.f90), extended with
-    the TPU kernel tier."""
+    the TPU kernel tier.  Thresholds are MEASURED on chip
+    (PROFILE_r03_gate.json, profile_gate.py):
+
+      * pallas beats the XLA paths 2.6-13x at EVERY shard size tested
+        (nb 16..128 block-rows) — r02's nb>=64 gate was unmeasured and
+        wrong, so pallas now runs whenever the shape is eligible;
+      * the dense branch only crosses over at ~90%+ block occupancy
+        (dense is flat ~5.2 ms at dim 4096 while pallas scales with
+        fill: 0.48/1.47/3.2/5.5 ms at 25/50/75/100%), far above the
+        reference's 10% trigger — the MXU prices structured sparsity
+        differently than Gustavson on a CPU.
+    """
     dt = jnp.result_type(a.dtype, b.dtype)
-    # dense branch: both operands dense-ish (capacity fraction as the
-    # density proxy) and the densified panels are affordable.
-    if (min(a.k, b.k) > 0.5 * a.nb and a.nb * a.bs <= 4096):
+    if (min(a.k, b.k) >= 0.9 * a.nb and a.nb * a.bs <= 4096):
         return "dense"
-    # pallas pays only when each shard has enough block-rows to fill the
-    # pipeline; small shards are dispatch-bound on any path, so use the
-    # XLA paths there (fewer kernel compiles, same wall time).
-    if (not _on_cpu(a.grid) and a.nb // a.grid.rows >= 64
-            and spgemm_pallas.eligible(
-                dt, a.bs, k_out, a.grid.cols * a.k, b.k)):
+    if (not _on_cpu(a.grid) and spgemm_pallas.eligible(
+            dt, a.bs, k_out, a.grid.cols * a.k, b.k)):
         return "pallas"
     n_cand = a.grid.cols * a.k * b.k
     return "cand" if n_cand <= max(64, 8 * k_out) else "acc"

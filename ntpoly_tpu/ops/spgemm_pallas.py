@@ -128,10 +128,16 @@ def structure_plan(a_cols: Array, b_cols: Array, k_out: int
     return slot, occ, ucnt
 
 
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+
 def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
             ablk_ref, bpan_ref,                    # pipelined VMEM inputs
             oblk_ref, nrm_ref,                     # pipelined VMEM outputs
-            *, ka: int, kb: int, k_out: int):
+            *, ka: int, kb: int, k_out: int,
+            precision: str = "highest"):
     r = pl.program_id(0)
     s = pl.program_id(1)
     bs = ablk_ref.shape[-1]
@@ -142,11 +148,13 @@ def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
 
     @pl.when(acols_ref[r, s] != EMPTY)
     def _():
-        # HIGHEST: full-f32 MXU passes — the bf16 default breaks the
-        # library's 1e-6 convergence tolerances.
+        # Default 'highest' = full-f32 MXU passes (6 bf16 passes) — the
+        # bf16 default breaks the library's 1e-6 convergence tolerances.
+        # 'high' (3 passes, ~2x MXU throughput, ~1e-6 relative dot error)
+        # is an opt-in speed knob (SolverParameters.precision).
         part = jnp.dot(ablk_ref[0, 0], bpan_ref[0],
                        preferred_element_type=oblk_ref.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_PRECISIONS[precision])
         for t in range(kb):
             g = plan_ref[r, s * kb + t]
 
@@ -287,7 +295,8 @@ def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
 
 
 def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
-                 *, kb: int, nbk: int, k_out: int, interpret: bool):
+                 *, kb: int, nbk: int, k_out: int, interpret: bool,
+                 precision: str = "highest"):
     """Numeric pass as a fully pipelined pallas pipeline: grid (R, KA); the
     B block-row for step (r, s) is fetched by a *gather BlockSpec* whose
     index map reads the prefetched col ids (so Pallas double-buffers the
@@ -319,7 +328,8 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
                          memory_space=pltpu.VMEM),
         ],
     )
-    kernel = functools.partial(_kernel, ka=KA, kb=kb, k_out=k_out)
+    kernel = functools.partial(_kernel, ka=KA, kb=kb, k_out=k_out,
+                               precision=precision)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -336,11 +346,11 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "interpret"))
+    static_argnames=("k_out", "interpret", "precision"))
 def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
                   b_blocks: Array, *, k_out: int,
                   threshold=0.0, alpha=1.0,
-                  interpret: bool = False
+                  interpret: bool = False, precision: str = "highest"
                   ) -> Tuple[Array, Array, Array]:
     """C = alpha * A @ B, threshold-filtered, on one shard (Pallas TPU).
 
@@ -381,7 +391,8 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
         hi = min(lo + chunk, R)
         cb_i, np_i = _call_kernel(
             a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
-            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret)
+            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret,
+            precision=precision)
         cbs.append(cb_i)
         nps.append(np_i)
     cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)

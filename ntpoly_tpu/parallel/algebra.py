@@ -58,7 +58,8 @@ def _policy_get(attr):
 
 @contextlib.contextmanager
 def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
-                    on_overflow: str | None = None, collect=None):
+                    on_overflow: str | None = None, collect=None,
+                    precision: str | None = None):
     """Ambient capacity defaults for matmul/increment/transpose.
 
     Solvers install this from SolverParameters.k_out / row_chunk: pinning
@@ -73,14 +74,16 @@ def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
     truncation is *detected*, never silent (the reference's pool never
     drops entries, GemmMatrix.f90:48-56)."""
     prev = (_policy_get("k_out"), _policy_get("row_chunk"),
-            _policy_get("on_overflow"), _policy_get("collect"))
-    _policy.k_out, _policy.row_chunk, _policy.on_overflow, \
-        _policy.collect = k_out, row_chunk, on_overflow, collect
+            _policy_get("on_overflow"), _policy_get("collect"),
+            _policy_get("precision"))
+    (_policy.k_out, _policy.row_chunk, _policy.on_overflow,
+     _policy.collect, _policy.precision) = (
+        k_out, row_chunk, on_overflow, collect, precision)
     try:
         yield
     finally:
         (_policy.k_out, _policy.row_chunk, _policy.on_overflow,
-         _policy.collect) = prev
+         _policy.collect, _policy.precision) = prev
 
 __all__ = [
     "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
@@ -98,11 +101,12 @@ __all__ = [
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "pnb", "k_out", "s_slices", "row_chunk",
-                     "method", "interpret", "want_fill"))
+                     "method", "interpret", "want_fill", "precision"))
 def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
            final_thresh, *, grid: ProcessGrid, pnb: int, k_out: int,
            s_slices: int, row_chunk: int, method: str = "acc",
-           interpret: bool = False, want_fill: bool = True):
+           interpret: bool = False, want_fill: bool = True,
+           precision: str = "highest"):
     bs = a_blocks.shape[-1]
     pc = grid.cols
 
@@ -133,7 +137,8 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
         if method == "pallas":
             cc, cb, _ = spgemm_pallas.spgemm_pallas(
                 agc, agb, bgc, bgb, k_out=k_out,
-                threshold=working_thresh, alpha=alpha, interpret=interpret)
+                threshold=working_thresh, alpha=alpha, interpret=interpret,
+                precision=precision)
         elif method == "dense":
             cc, cb = bell.spgemm_dense(
                 agc, agb, bgc, bgb, col_offset=c0, nbc_out=pnb, k_out=k_out,
@@ -233,7 +238,8 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
            c: PSMatrix | None = None, threshold=0.0,
            k_out: int | None = None, row_chunk: int | None = None,
            method: str = "auto",
-           on_overflow: str | None = None) -> PSMatrix:
+           on_overflow: str | None = None,
+           precision: str | None = None) -> PSMatrix:
     """C = alpha*A@B + beta*C, threshold-filtered 3D SUMMA.
 
     (reference PSMatrixAlgebraModule.F90:106-269.)
@@ -260,6 +266,7 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
                  or max(1, min(8, a.nb // a.grid.rows)))
     wt = threshold / (s * 1000.0) if s > 1 else threshold
     dt = jnp.result_type(a.dtype, b.dtype)
+    precision = precision or _policy_get("precision") or "highest"
     requested = method
     grow = on_overflow == "grow"
     collector = _policy_get("collect")
@@ -272,7 +279,7 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
             jnp.asarray(alpha, dt), wt, threshold,
             grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
             row_chunk=row_chunk, method=method, interpret=interpret,
-            want_fill=grow or collector is not None)
+            want_fill=grow or collector is not None, precision=precision)
         if collector is not None:
             collector.append(stats[0])            # exact structural need
         if not grow or k_out >= cap:

@@ -51,11 +51,13 @@ class solver_log:
         # ops still GROW on measured overflow — never silently drop
         # (reference GemmMatrix.f90:48-56); the chunked driver installs
         # its own truncate-with-detection policy inside the scan.
-        if self.params.k_out or self.params.row_chunk:
+        if (self.params.k_out or self.params.row_chunk
+                or self.params.precision != "highest"):
             self._policy = alg.capacity_policy(
                 k_out=self.params.k_out, row_chunk=self.params.row_chunk,
                 on_overflow="truncate"
-                if self.params.on_overflow == "ignore" else "grow")
+                if self.params.on_overflow == "ignore" else "grow",
+                precision=self.params.precision)
             self._policy.__enter__()
         return self
 
@@ -239,7 +241,8 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
                 with alg.capacity_policy(k_out=k_now,
                                          on_overflow="truncate",
                                          row_chunk=params.row_chunk,
-                                         collect=coll):
+                                         collect=coll,
+                                         precision=params.precision):
                     uc2, scal = step_fn(uc, *cs)
                 for f in coll:
                     ovf = jnp.maximum(ovf, jnp.asarray(f, jnp.int32))

@@ -109,6 +109,11 @@ class SolverParameters:
     # pinned capacity: 'grow' (redo chunk at the needed capacity — the
     # reference's never-drop pool growth), 'warn', 'raise', 'ignore'.
     on_overflow: str = "grow"
+    # MXU pass count for the SpGEMM kernel: 'highest' (full f32, 6 bf16
+    # passes, default — matches the library's tolerance claims) or
+    # 'high' (3 passes, ~2x MXU throughput, ~1e-6 relative dot error —
+    # an opt-in speed knob for threshold >= 1e-5 workloads).
+    precision: str = "highest"
 
     def copy(self) -> "SolverParameters":
         return replace(self)

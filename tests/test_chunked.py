@@ -176,3 +176,20 @@ def test_chunked_overflow_grows_to_correct_answer(rng):
     rho, energy, mu = _run(params, rng, ProcessGrid(2, 2, 1))
     assert rel_error(np.asarray(PM.to_dense(rho)), rho_ref) < 1e-5
     assert abs(energy - w[:dim // 2].sum()) < 1e-5 * abs(w[:dim // 2].sum())
+
+
+def test_precision_knob_plumbing(rng):
+    """params.precision='high' (3-pass MXU) threads through the solver
+    policy to the kernel; on CPU both settings must agree to f64."""
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    grid = ProcessGrid(2, 2, 1)
+    hm, _, h, _ = _system(rng, grid)
+    isq = PM.identity(DIM, bs=BS, dtype=hm.dtype, grid=grid)
+    p_hi = SolverParameters(converge_diff=1e-9, threshold=1e-11,
+                            iters_per_sync=4)
+    p_fast = SolverParameters(converge_diff=1e-9, threshold=1e-11,
+                              iters_per_sync=4, precision="high")
+    r1, e1, _ = density.trs4(hm, isq, float(DIM // 2), p_hi)
+    r2, e2, _ = density.trs4(hm, isq, float(DIM // 2), p_fast)
+    assert abs(float(e1) - float(e2)) < 1e-8 * abs(float(e1))

@@ -176,16 +176,19 @@ def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
 
 
 # Per-row int32 metadata (a_cols, merge plan) lives in SMEM via scalar
-# prefetch; the row dimension is chunked so the per-call prefetch bytes
-# stay under a conservative budget (SMEM is ~1 MB and Mosaic double
-# -buffers; a 100k-dim solve at KA=KB=9 blew it with a fixed 1024 chunk).
-ROW_CHUNK = 1024
+# prefetch; the row dimension is chunked so BOTH SMEM consumers stay
+# bounded per pallas_call: the prefetch bytes themselves, and Mosaic's
+# per-grid-step scratch for prefetch-driven index maps (~0.5 KB/step —
+# measured: 1024 grid steps compile, 2048 overflow the 1 MB SMEM).
+ROW_CHUNK = 512
 SMEM_PREFETCH_BUDGET = 96 * 1024
+MAX_GRID_STEPS = 1024
 
 
 def _row_chunk(ka: int, kb: int) -> int:
     per_row = 4 * (ka + ka * kb)
-    return max(32, min(ROW_CHUNK, SMEM_PREFETCH_BUDGET // per_row))
+    return max(32, min(ROW_CHUNK, SMEM_PREFETCH_BUDGET // per_row,
+                       MAX_GRID_STEPS // max(ka, 1)))
 
 
 def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch

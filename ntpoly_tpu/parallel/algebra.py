@@ -461,10 +461,26 @@ def symmetrize(a: PSMatrix) -> PSMatrix:
     return increment(scale(a, 0.5), transpose(scale(a, 0.5)))
 
 
+def is_identity(a: PSMatrix) -> bool:
+    """Exact identity check (reference IsIdentity,
+    PSMatrixModule.F90:1810-1852) — one scalar readback; conservatively
+    False under a jit trace (no data-dependent control flow there)."""
+    ident = identity(a.dim, bs=a.bs, k=max(a.k, 1), dtype=a.dtype,
+                     grid=a.grid)
+    nv = norm(increment(a, ident, 1.0, -1.0))
+    if isinstance(nv, jax.core.Tracer):
+        return False
+    return float(nv) == 0.0
+
+
 def similarity_transform(a: PSMatrix, p: PSMatrix, pinv: PSMatrix,
                          threshold=0.0, k_out=None) -> PSMatrix:
-    """P @ A @ Pinv (reference SimilarityTransform,
-    PSMatrixAlgebraModule.F90:603-654)."""
+    """P @ A @ Pinv with the identity short-circuit (reference
+    SimilarityTransform, PSMatrixAlgebraModule.F90:603-654 skips the
+    multiplies when P is the identity — two SpGEMMs saved per call, four
+    per orthogonalize/deorthogonalize pair)."""
+    if p.k <= 1 and pinv.k <= 1 and is_identity(p) and is_identity(pinv):
+        return filter_small(a, threshold) if threshold > 0 else a
     tmp = matmul(a, pinv, threshold=threshold, k_out=k_out)
     return matmul(p, tmp, threshold=threshold, k_out=k_out)
 

@@ -126,6 +126,21 @@ def bench_spgemm(grid, on_cpu):
 
     nnz = 2 * int(h.nnz) + int(c.nnz)
     value = nnz / dt
+    _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9, method=method,
+          ms_per_multiply=dt * 1e3)
+    try:
+        _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value,
+                      method, dt)
+    except Exception as e:                          # optional mode only
+        print(f"# f32x3 secondary failed: {type(e).__name__}",
+              file=sys.stderr)
+
+
+def _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value, method,
+                  dt):
+    import jax
+    import jax.numpy as jnp
+    from ntpoly_tpu.parallel import algebra as alg
     if not on_cpu:
         # secondary: the opt-in 3-pass MXU mode (params.precision='high')
         def chain_fast(n):
@@ -153,11 +168,21 @@ def bench_spgemm(grid, on_cpu):
                 ts.append(time.perf_counter() - t0)
             tf[n] = min(ts)
         dtf = (tf[3 * reps] - tf[reps]) / (2 * reps)
+        # accuracy of the 3-pass mode vs full precision on one multiply
+        c_hi = alg.matmul(h, h, threshold=threshold, k_out=k_out,
+                          on_overflow="truncate")
+        c_f3 = alg.matmul(h, h, threshold=threshold, k_out=k_out,
+                          on_overflow="truncate", precision="high")
+        num = float(jnp.max(jnp.abs(c_f3.blocks - c_hi.blocks)))
+        den = float(jnp.max(jnp.abs(c_hi.blocks)))
         _emit("spgemm_nnz_per_s_f32x3", nnz / dtf, "nnz/s",
               nnz / dtf / 1e9, method=method, precision="high",
-              ms_per_multiply=dtf * 1e3)
-    _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9, method=method,
-          ms_per_multiply=dt * 1e3)
+              ms_per_multiply=dtf * 1e3,
+              max_rel_err_vs_highest=num / den)
+        # re-emit the full-precision headline LAST (driver parses the
+        # final JSON line)
+        _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9,
+              method=method, ms_per_multiply=dt * 1e3)
 
 
 def bench_hotelling(grid, on_cpu):
@@ -415,6 +440,10 @@ def main():
                    if ln.startswith("{")]
             if got:
                 lines[name] = got
+            elif res.returncode != 0:
+                tail = (res.stderr or "").strip().splitlines()[-1:]
+                print(f"# {name}: failed rc={res.returncode} {tail}",
+                      file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# {name}: timed out (cold XLA compile stall)",
                   file=sys.stderr)

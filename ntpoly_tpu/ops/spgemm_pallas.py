@@ -27,10 +27,12 @@ a *structure pass* (XLA, integer-only) and a *numeric pass* (Pallas, MXU):
     could have overlapped (the analogue of the reference's comm/compute
     overlap task loop,
     distributed_algebra_includes/MatrixMultiply.f90:87-274);
-  * pruning + compaction ("PruneList") runs as a vectorized XLA epilogue:
-    entries with |alpha*v| <= threshold are flushed, all-zero output
-    blocks are dropped, survivors re-packed in ascending column order —
-    parallel over all rows instead of a serial in-kernel loop.
+  * pruning ("PruneList") runs IN-KERNEL on the last accumulation step:
+    alpha scaling, elementwise threshold flush, and sublane-reduced block
+    norms happen while the output row is still VMEM-resident, so the
+    epilogue touches only [R, k_out] metadata (slots whose block flushed
+    to zero are marked EMPTY in place — holes, not a re-pack; consumers
+    are hole-agnostic, see core/bell.py invariants).
 
 There is NO dense accumulator over output columns, so the kernel scales to
 any panel width (a dense-accumulator design hits the VMEM wall once the
@@ -151,10 +153,28 @@ def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
         # Default 'highest' = full-f32 MXU passes (6 bf16 passes) — the
         # bf16 default breaks the library's 1e-6 convergence tolerances.
         # 'high' (3 passes, ~2x MXU throughput, ~1e-6 relative dot error)
-        # is an opt-in speed knob (SolverParameters.precision).
-        part = jnp.dot(ablk_ref[0, 0], bpan_ref[0],
-                       preferred_element_type=oblk_ref.dtype,
-                       precision=_PRECISIONS[precision])
+        # is an opt-in speed knob (SolverParameters.precision); Mosaic
+        # has no HIGH lowering, so the bf16 hi/lo split is done by hand
+        # and the lo x lo term dropped.
+        a = ablk_ref[0, 0]
+        b = bpan_ref[0]
+        # the hand-rolled split only makes sense for f32 on the MXU; f64
+        # (CPU oracle runs) keeps exact dots
+        if precision == "high" and a.dtype == jnp.float32:
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = (jnp.dot(a_hi, b_hi,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(a_lo, b_hi,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(a_hi, b_lo,
+                              preferred_element_type=jnp.float32))
+            part = part.astype(oblk_ref.dtype)
+        else:
+            part = jnp.dot(a, b, preferred_element_type=oblk_ref.dtype,
+                           precision=_PRECISIONS[precision])
         for t in range(kb):
             g = plan_ref[r, s * kb + t]
 
@@ -412,7 +432,10 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
 
 def vmem_bytes(k_out: int, ka: int, kb: int, bs: int,
                itemsize: int = 4) -> int:
-    """Estimated VMEM footprint of one kernel invocation."""
+    """Estimated VMEM footprint of one kernel invocation.
+
+    ``ka`` does not enter: the grid iterates A slots one at a time, so
+    only one (double-buffered) A block is resident regardless of KA."""
     bbuf = 2 * bs * kb * bs            # double-buffered gathered B row
     ablk = 2 * bs * bs                 # double-buffered A block
     out = 2 * k_out * bs * bs          # VMEM-resident output row

@@ -108,26 +108,38 @@ def compact(cols: Array, blocks: Array, k_out: int, threshold=0.0
 
 def merge(cols: Array, blocks: Array, k_out: int, threshold=0.0
           ) -> Tuple[Array, Array]:
-    """Sum blocks sharing a col id, then :func:`compact` to capacity.
-
-    Accepts arbitrary slot order and duplicate col ids — the k-way merge that
-    NTPoly performs when summing gathered CSR contributions
+    """Sum blocks sharing a col id into ascending output slots — the k-way
+    merge NTPoly performs when summing gathered CSR contributions
     (reference Source/Fortran/comm_includes/
     ReduceAndSumMatrixCleanup.f90:10-35).
+
+    Accepts arbitrary slot order and duplicate col ids.  Sort- and
+    gather-free: the output slot of each candidate is its count of
+    distinct smaller ids (pairwise comparisons, like
+    spgemm_pallas.structure_plan), and the dedup-sum + slot placement is
+    ONE one-hot contraction over the block tensor — the previous
+    argsort + compact pipeline made three full passes.  On overflow
+    (more than k_out distinct ids) the lowest col ids are kept, matching
+    the pallas kernel.  Below-threshold values flush to zero; slots whose
+    whole block flushes are EMPTY in place (holes, not re-packed).
     """
     m = cols.shape[-1]
-    order = jnp.argsort(cols, axis=-1)
-    sc, sb = _take_slots(cols, blocks, order)
-    prev = jnp.concatenate(
-        [jnp.full(sc.shape[:-1] + (1,), -1, sc.dtype), sc[..., :-1]], axis=-1)
-    first = sc != prev
-    g = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1      # [..., M]
-    onehot = (g[..., :, None] == jnp.arange(m))               # [..., M, M]
-    mb = jnp.einsum('...mn,...mij->...nij', onehot.astype(sb.dtype), sb,
-                    precision=PRECISION)
-    mc = jnp.min(jnp.where(onehot, sc[..., :, None], EMPTY), axis=-2)
-    mb = mb * (mc != EMPTY)[..., None, None].astype(mb.dtype)
-    return compact(mc, mb, k_out, threshold)
+    valid = cols != EMPTY
+    eq = cols[..., :, None] == cols[..., None, :]              # [..., M, M]
+    earlier = jnp.arange(m)[:, None] > jnp.arange(m)[None, :]
+    first = valid & ~jnp.any(eq & earlier, axis=-1)
+    lt = cols[..., None, :] < cols[..., :, None]
+    rank = jnp.sum((first[..., None, :] & lt).astype(jnp.int32), axis=-1)
+    slot = jnp.where(valid, rank, k_out)
+    oh = slot[..., None] == jnp.arange(k_out)                  # [..., M, K]
+    out = jnp.einsum('...mk,...mij->...kij', oh.astype(blocks.dtype),
+                     blocks, precision=PRECISION)
+    hit = (rank[..., None] == jnp.arange(k_out)) & first[..., None]
+    oc = jnp.min(jnp.where(hit, cols[..., :, None], EMPTY), axis=-2)
+    out = jnp.where(jnp.abs(out) > threshold, out, 0)
+    nm = jnp.sum(jnp.abs(out), axis=(-1, -2))
+    oc = jnp.where(nm > 0, oc, EMPTY)
+    return oc, out
 
 
 def union_fill(a_cols: Array, b_cols: Array) -> Array:

@@ -335,6 +335,20 @@ def _auto_bs(dim: int) -> int:
     return 4
 
 
+def _require_same_embedding(*mats) -> None:
+    """Mixed embedded/plain operands would fail deep in the stack with a
+    bare shape assert (the embedding doubles the internal dimension);
+    surface a typed, actionable error instead."""
+    states = {m._embedded for m in mats}
+    if len(states) > 1:
+        from .utils.errors import ComplexSupportError
+        raise ComplexSupportError(
+            "operands mix an embedded complex matrix with a plain real "
+            "one; build the real operand from the embedded container "
+            "(e.g. M2 = Matrix_ps(M1); M2.FillIdentity()) so both share "
+            "the embedding")
+
+
 def _propagate(dst: "Matrix_ps", src: "Matrix_ps") -> None:
     """Copy complex-embedding metadata: f(E(C)) = E(f(C)) for every matrix
     function here, so outputs of embedded inputs are embedded."""
@@ -507,11 +521,12 @@ class Matrix_ps:
 
     # -- structure -------------------------------------------------------
     @staticmethod
-    def _embed_sign(m):
-        """P = diag(+I, -I): E(conj C) = P E(C) P (conjugation flips the
-        imaginary blocks' signs in the embedding)."""
-        half = m.logical_dim // 2
-        d = np.where(np.arange(m.logical_dim) < half, 1.0, -1.0)
+    def _embed_sign(m, cdim):
+        """P = diag(+I_cdim, -I): E(conj C) = P E(C) P (conjugation flips
+        the imaginary blocks' signs).  The boundary is the COMPLEX
+        dimension cdim — NOT logical_dim//2, which drifts whenever the
+        block/grid geometry pads the embedded matrix."""
+        d = np.where(np.arange(m.logical_dim) < cdim, 1.0, -1.0)
         return _alg.diagonal_scale(
             _alg.diagonal_scale(m, d, side="left"), d, side="right")
 
@@ -519,12 +534,12 @@ class Matrix_ps:
         t = _alg.transpose(matA._m)
         # embedded: E(A)^T = E(A^H); plain transpose needs the conjugation
         # fix-up P E(A)^T P = E(A^T)
-        self._m = self._embed_sign(t) if matA._embedded else t
+        self._m = self._embed_sign(t, matA._cdim) if matA._embedded else t
         _propagate(self, matA)
 
     def Conjugate(self):
         if self._embedded:
-            self._m = self._embed_sign(self._m)
+            self._m = self._embed_sign(self._m, self._cdim)
         else:
             self._m = self._m.conjugate()
 
@@ -539,12 +554,14 @@ class Matrix_ps:
 
     # -- algebra ---------------------------------------------------------
     def Dot(self, matB: "Matrix_ps"):
+        _require_same_embedding(self, matB)
         result = complex(_alg.dot(self._m, matB._m))
         # <E(A), E(B)> = 2 Re<A, B> (real+imag parts each counted once
         # per diagonal block of the embedding)
         return result.real / 2.0 if self._embedded else result.real
 
     def Dot_c(self, matB: "Matrix_ps"):
+        _require_same_embedding(self, matB)
         if self._embedded:
             # exact complex dot via extracted triplets (host-side; the
             # embedding loses the imaginary part of the device-side dot)
@@ -556,6 +573,7 @@ class Matrix_ps:
         return complex(_alg.dot(self._m, matB._m))
 
     def Increment(self, matB: "Matrix_ps", alpha=1.0, threshold=0.0):
+        _require_same_embedding(self, matB)
         if np.iscomplexobj(alpha) and matB._embedded:
             raise TypeError("complex alpha requires native complex; "
                             "real alpha commutes with the embedding")
@@ -564,6 +582,7 @@ class Matrix_ps:
         _propagate(self, matB)
 
     def PairwiseMultiply(self, matA: "Matrix_ps", matB: "Matrix_ps"):
+        _require_same_embedding(matA, matB)
         if matA._embedded:
             # the Hadamard product does NOT commute with the embedding;
             # compute on extracted complex triplets and re-embed
@@ -581,12 +600,20 @@ class Matrix_ps:
 
     def Gemm(self, matA: "Matrix_ps", matB: "Matrix_ps", memory_pool=None,
              alpha=1.0, beta=0.0, threshold=0.0):
+        _require_same_embedding(matA, matB)
+        if np.iscomplexobj(alpha) and matA._embedded:
+            raise TypeError("complex alpha requires native complex; "
+                            "real alpha commutes with the embedding")
         self._m = _alg.matmul(matA._m, matB._m, alpha=alpha, beta=beta,
                               c=self._m if beta != 0.0 else None,
                               threshold=threshold)
         _propagate(self, matA)
 
     def Scale(self, constant):
+        if np.iscomplexobj(constant) and self._embedded:
+            raise TypeError("complex scale factors require native "
+                            "complex; real factors commute with the "
+                            "embedding")
         self._m = _alg.scale(self._m, constant)
 
     def Norm(self):
@@ -626,6 +653,7 @@ class Matrix_ps:
 class DensityMatrixSolvers:
     @staticmethod
     def PM(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _density.pm(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -636,6 +664,7 @@ class DensityMatrixSolvers:
 
     @staticmethod
     def TRS2(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _density.trs2(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -646,6 +675,7 @@ class DensityMatrixSolvers:
 
     @staticmethod
     def TRS4(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _density.trs4(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -656,6 +686,7 @@ class DensityMatrixSolvers:
 
     @staticmethod
     def HPCP(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _density.hpcp(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -904,10 +935,39 @@ class EigenBounds:
         return _bounds.power_bounds(InputMat._m, _params_of(sp))
 
 
+def _embedded_eigh(InputMat):
+    """Eigendecomposition does NOT commute with the 2x2 embedding (the
+    spectrum of E(C) is C's with doubled multiplicity), so embedded
+    matrices are decomposed on the host: extract complex triplets, dense
+    np.linalg.eigh — exactly the role of the reference's EigenSerial
+    gather-to-LAPACK fallback (eigenexa_includes/EigenSerial.f90)."""
+    r, c, v = InputMat._triplets()
+    n = InputMat._cdim
+    dense = np.zeros((n, n), np.complex128)
+    dense[r.astype(np.int64), c.astype(np.int64)] = v
+    return np.linalg.eigh(dense)
+
+
 class EigenSolvers:
     @staticmethod
     def EigenDecomposition(InputMat, EigenValues, nvals=None,
                            EigenVectors=None, sp=None):
+        if InputMat._embedded:
+            w, v = _embedded_eigh(InputMat)
+            n = InputMat._cdim
+            if nvals is not None and nvals < n:
+                w = np.where(np.arange(n) < nvals, w, 0.0)
+                v = v * (np.arange(n)[None, :] < nvals)
+            i = np.arange(n)
+            EigenValues._fill_triplets(i, i, w + 0j, n,
+                                       grid=InputMat._m.grid,
+                                       bs=InputMat._m.bs)
+            if EigenVectors is not None:
+                ii, jj = np.nonzero(np.abs(v) > 0)
+                EigenVectors._fill_triplets(ii, jj, v[ii, jj], n,
+                                            grid=InputMat._m.grid,
+                                            bs=InputMat._m.bs)
+            return
         vals, vecs = _eigen.eigen_decomposition(
             InputMat._m, nvals=nvals, params=_params_of(sp),
             compute_vectors=EigenVectors is not None)
@@ -919,6 +979,10 @@ class EigenSolvers:
 
     @staticmethod
     def EigenValues(InputMat, EigenValuesOut, nvals=None, sp=None):
+        if InputMat._embedded:
+            EigenSolvers.EigenDecomposition(InputMat, EigenValuesOut,
+                                            nvals=nvals, sp=sp)
+            return
         EigenValuesOut._m = _eigen.eigen_values(InputMat._m, nvals=nvals,
                                                 params=_params_of(sp))
         _propagate(EigenValuesOut, InputMat)
@@ -929,7 +993,12 @@ class EigenSolvers:
         optional EigenExa bridge): lowest-nvals eigenpairs by matrix-free
         LOBPCG over the distributed sparse operator.  Returns
         (eigenvalues ndarray [nvals], eigenvectors ndarray [dim, nvals])."""
-        import numpy as np
+        if InputMat._embedded:
+            from .utils.errors import ComplexSupportError
+            raise ComplexSupportError(
+                "iterative eigensolver on an embedded complex matrix "
+                "would return doubled-multiplicity real pairs; use "
+                "EigenDecomposition (host complex eigh) instead")
         w, v = _eigen.eigen_decomposition_iterative(
             InputMat._m, nvals, params=_params_of(sp))
         return np.asarray(w), np.asarray(v)
@@ -937,6 +1006,12 @@ class EigenSolvers:
     @staticmethod
     def SingularValueDecomposition(InputMat, LeftVectors, RightVectors,
                                    SingularValues, sp=None):
+        if InputMat._embedded:
+            from .utils.errors import ComplexSupportError
+            raise ComplexSupportError(
+                "SVD factors do not commute with the 2x2 embedding "
+                "(doubled singular multiplicities); extract the matrix "
+                "(GetTripletList) and use a host SVD")
         left, right, vals = _eigen.singular_value_decomposition(
             InputMat._m, _params_of(sp))
         LeftVectors._m, RightVectors._m, SingularValues._m = left, right, \
@@ -973,6 +1048,12 @@ class Analysis:
 
     @staticmethod
     def ReduceDimension(InputMat, dim, ReducedMat, sp=None):
+        if InputMat._embedded:
+            from .utils.errors import ComplexSupportError
+            raise ComplexSupportError(
+                "ReduceDimension's rank-dim subspace slice does not "
+                "commute with the 2x2 embedding; extract and reduce on "
+                "the host, or run on a native-complex backend")
         ReducedMat._m = _analysis.reduce_dimension(InputMat._m, dim,
                                                    _params_of(sp))
         _propagate(ReducedMat, InputMat)

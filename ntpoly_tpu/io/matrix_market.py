@@ -192,20 +192,17 @@ def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
 def write(mat: PM.PSMatrix, file_name: str):
     """Write coordinate-general MM (reference WriteMatrixToMatrixMarket).
 
-    Multi-process: every process routes its OWNED triplets to rank 0
-    (device all-to-all), which alone formats the text — O(nnz/P) on
-    non-root hosts, O(nnz) only at the writer (text lines have variable
-    width, so offsets can't be precomputed like the binary format's)."""
+    Multi-process: owned-shard triplets are allgathered and rank 0 alone
+    formats the text (variable-width lines preclude the binary format's
+    precomputed pwrite offsets; an all-to-all route-to-root would pad
+    every bucket to the max and cost MORE).  Use the binary checkpoint
+    (`io.binary.write`, collective pwrites) as the scalable result path —
+    the reference makes the same split (WriteMatrixToBinary is the
+    checkpoint format, PSMatrixModule.F90:572-573)."""
     from ..parallel import dist
-    if dist.is_multiprocess():
-        import numpy as _np
-        r, c, v = PM.to_triplets(mat, local=True)
-        r, c, v = dist.exchange_triplets(
-            r, c, v, _np.zeros(len(r), _np.int64))
-        if dist.process_index() != 0:
-            return
-    else:
-        r, c, v = PM.to_triplets(mat)
+    r, c, v = PM.to_triplets(mat)
+    if dist.is_multiprocess() and dist.process_index() != 0:
+        return
     write_triplets(file_name, r, c, v, mat.dim)
 
 

@@ -207,8 +207,11 @@ MAX_GRID_STEPS = 1024
 
 def _row_chunk(ka: int, kb: int) -> int:
     per_row = 4 * (ka + ka * kb)
-    return max(32, min(ROW_CHUNK, SMEM_PREFETCH_BUDGET // per_row,
-                       MAX_GRID_STEPS // max(ka, 1)))
+    # floor of 8 rows keeps calls sane but must never override the SMEM
+    # caps — shapes needing fewer rows than that are rejected by
+    # eligible() instead
+    return max(8, min(ROW_CHUNK, SMEM_PREFETCH_BUDGET // per_row,
+                      MAX_GRID_STEPS // max(ka, 1)))
 
 
 def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch
@@ -451,5 +454,11 @@ def eligible(dtype, bs: int, k_out: int, ka: int, kb: int,
     if dtype.itemsize > 4:              # f64 is emulated on TPU
         return False
     if bs % 8 != 0:
+        return False
+    # the SMEM caps must be satisfiable at the minimum row chunk (8):
+    # grid steps and scalar-prefetch bytes both scale with KA
+    if 8 * ka > MAX_GRID_STEPS:
+        return False
+    if 8 * 4 * (ka + ka * kb) > SMEM_PREFETCH_BUDGET:
         return False
     return vmem_bytes(k_out, ka, kb, bs, dtype.itemsize) <= vmem_limit

@@ -114,9 +114,16 @@ def exchange_triplets(rows, cols, vals, dest):
     vals = np.asarray(vals)
     dest = np.asarray(dest, np.int64)
     iscomplex = np.iscomplexobj(vals)
+    # indices ride int32 (exact to 2^31 rows — a float payload would
+    # silently round above 2^24 when jax x64 is off); values ride their
+    # native real dtype
+    rdt = vals.real.dtype
 
     counts = np.bincount(dest, minlength=nproc)
-    # bucket capacity must agree globally (static shape for the collective)
+    # bucket capacity must agree globally (lax.all_to_all needs uniform
+    # chunks, so every (src, dst) pair pads to the global max — each host
+    # pays O(nproc * max bucket), the price of a collective exchange
+    # without point-to-point messaging)
     maxn = int(np.max(mhu.process_allgather(
         np.asarray([counts.max() if counts.size else 0], np.int64))))
     if maxn == 0:
@@ -124,20 +131,19 @@ def exchange_triplets(rows, cols, vals, dest):
     order = np.argsort(dest, kind="stable")
     offs = np.zeros(nproc + 1, np.int64)
     np.cumsum(counts, out=offs[1:])
-    width = 5 if iscomplex else 4
-    packed = np.zeros((nproc, maxn, width), np.float64)
+    vw = 2 if iscomplex else 1
+    idx = np.full((nproc, maxn, 3), -1, np.int32)   # row, col, valid
+    val = np.zeros((nproc, maxn, vw), rdt)
     sr, sc, sv = rows[order], cols[order], vals[order]
     for p in range(nproc):
         lo, hi = offs[p], offs[p + 1]
         n = hi - lo
-        packed[p, :n, 0] = sr[lo:hi]
-        packed[p, :n, 1] = sc[lo:hi]
-        packed[p, :n, 2] = 1.0                    # validity flag
+        idx[p, :n, 0] = sr[lo:hi]
+        idx[p, :n, 1] = sc[lo:hi]
+        idx[p, :n, 2] = 1
+        val[p, :n, 0] = sv[lo:hi].real
         if iscomplex:
-            packed[p, :n, 3] = sv[lo:hi].real
-            packed[p, :n, 4] = sv[lo:hi].imag
-        else:
-            packed[p, :n, 3] = sv[lo:hi]
+            val[p, :n, 1] = sv[lo:hi].imag
 
     # one device per process, exchange over a 1-axis mesh
     per_proc = {}
@@ -146,25 +152,28 @@ def exchange_triplets(rows, cols, vals, dest):
     devs = [per_proc[p] for p in range(nproc)]
     mesh = Mesh(np.asarray(devs), ("p",))
     sh = NamedSharding(mesh, P("p"))
-    # global [nproc*nproc, maxn, width]; this process's shard is exactly
-    # its own packed buckets
-    gshape = (nproc * nproc, maxn, width)
-    src = jax.make_array_from_callback(gshape, sh, lambda idx: packed)
 
-    def swap(x):                                  # x: [nproc, maxn, width]
+    def place(arr):
+        # global [nproc*nproc, ...]; this process's shard is its buckets
+        return jax.make_array_from_callback(
+            (nproc * nproc,) + arr.shape[1:], sh, lambda _: arr)
+
+    def swap(x):                                  # x: [nproc, maxn, w]
         return lax.all_to_all(x, "p", split_axis=0, concat_axis=0)
 
-    out = jax.jit(
-        jax.shard_map(swap, mesh=mesh, in_specs=P("p"), out_specs=P("p")),
-        )(src)
-    got = np.asarray(out.addressable_shards[0].data).reshape(-1, width)
-    keep = got[:, 2] > 0.5
-    r = got[keep, 0].astype(np.int64)
-    c = got[keep, 1].astype(np.int64)
+    fn = jax.jit(jax.shard_map(swap, mesh=mesh, in_specs=P("p"),
+                               out_specs=P("p")))
+    gi = np.asarray(fn(place(idx)).addressable_shards[0].data
+                    ).reshape(-1, 3)
+    gv = np.asarray(fn(place(val)).addressable_shards[0].data
+                    ).reshape(-1, vw)
+    keep = gi[:, 2] == 1
+    r = gi[keep, 0].astype(np.int64)
+    c = gi[keep, 1].astype(np.int64)
     if iscomplex:
-        v = (got[keep, 3] + 1j * got[keep, 4]).astype(vals.dtype)
+        v = (gv[keep, 0] + 1j * gv[keep, 1]).astype(vals.dtype)
     else:
-        v = got[keep, 3].astype(vals.dtype)
+        v = gv[keep, 0].astype(vals.dtype)
     return r, c, v
 
 

@@ -168,3 +168,93 @@ def test_api_auto_embedded_trs2_energy(rng, tmp_path, force_embed):
         assert rel_error(rho, rho_ref) < 1e-5
     finally:
         nt.DestructGlobalProcessGrid()
+
+
+def test_embedded_conjugate_transpose_with_padding(rng, force_embed):
+    """Regression (r3 review): the conjugation sign boundary must be the
+    COMPLEX dimension, not logical_dim//2 — they differ whenever the
+    block/grid geometry pads the embedding (dim 18, bs 8 -> logical 40)."""
+    import ntpoly_tpu as nt
+    dim = 18
+    a = rng.random((dim, dim)) + 1j * rng.random((dim, dim))
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    mmwrite(os.path.join(d, "a.mtx"), csr_matrix(a))
+    nt.ConstructGlobalProcessGrid(2, 2, 1)
+    try:
+        A = nt.Matrix_ps(os.path.join(d, "a.mtx"))
+        assert A._embedded and A._m.logical_dim > 2 * dim
+        A.Conjugate()
+        tl = nt.TripletList_c()
+        A.GetTripletList(tl)
+        got = np.zeros((dim, dim), np.complex128)
+        got[np.asarray(tl.rows) - 1, np.asarray(tl.columns) - 1] = tl.values
+        assert rel_error(got, np.conj(a)) < 1e-12
+        # plain (non-conjugate) transpose through the embedding
+        B = nt.Matrix_ps(dim)
+        A.Conjugate()                       # back to a
+        B.Transpose(A)
+        tl2 = nt.TripletList_c()
+        B.GetTripletList(tl2)
+        got2 = np.zeros((dim, dim), np.complex128)
+        got2[np.asarray(tl2.rows) - 1,
+             np.asarray(tl2.columns) - 1] = tl2.values
+        assert rel_error(got2, a.T) < 1e-12
+    finally:
+        nt.DestructGlobalProcessGrid()
+
+
+def test_embedded_eigendecomposition(rng, force_embed):
+    """Regression (r3 review): the spectrum of E(C) has doubled
+    multiplicity, so embedded eigendecomposition must NOT run on the
+    embedding — the api routes it to a host complex eigh."""
+    import ntpoly_tpu as nt
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    import tempfile, os
+    dim = 16
+    h = rng.random((dim, dim)) + 1j * rng.random((dim, dim))
+    h = 0.5 * (h + h.conj().T)
+    d = tempfile.mkdtemp()
+    mmwrite(os.path.join(d, "h.mtx"), csr_matrix(h))
+    nt.ConstructGlobalProcessGrid(1, 1, 1)
+    try:
+        H = nt.Matrix_ps(os.path.join(d, "h.mtx"))
+        assert H._embedded
+        W = nt.Matrix_ps(dim)
+        nt.EigenSolvers.EigenValues(H, W)
+        tl = nt.TripletList_c()
+        W.GetTripletList(tl)
+        got = np.zeros(dim)
+        got[np.asarray(tl.rows) - 1] = np.real(tl.values)
+        ref = np.linalg.eigh(h)[0]
+        assert rel_error(np.sort(got), ref) < 1e-10
+    finally:
+        nt.DestructGlobalProcessGrid()
+
+
+def test_mixed_embedding_raises(rng, force_embed):
+    """Mixed embedded/plain operands raise a typed, actionable error."""
+    import ntpoly_tpu as nt
+    from ntpoly_tpu.utils.errors import ComplexSupportError
+    from scipy.io import mmwrite
+    from scipy.sparse import csr_matrix
+    import tempfile, os
+    dim = 12
+    h = rng.random((dim, dim)) + 1j * rng.random((dim, dim))
+    d = tempfile.mkdtemp()
+    mmwrite(os.path.join(d, "h.mtx"), csr_matrix(h))
+    nt.ConstructGlobalProcessGrid(1, 1, 1)
+    try:
+        H = nt.Matrix_ps(os.path.join(d, "h.mtx"))
+        R = nt.Matrix_ps(dim)
+        R.FillIdentity()
+        C = nt.Matrix_ps(dim)
+        with pytest.raises(ComplexSupportError, match="mix"):
+            C.Gemm(H, R)
+        with pytest.raises(TypeError, match="complex"):
+            H.Scale(1j)
+    finally:
+        nt.DestructGlobalProcessGrid()

@@ -476,6 +476,8 @@ class Matrix_ps:
         return self._m.logical_dim
 
     def GetSize(self) -> int:
+        """Stored nonzero count.  The embedded path is a collective host
+        gather of the full triplet set (O(global nnz) per host)."""
         if self._embedded:
             return len(self._triplets()[2])
         return self._m.nnz
@@ -561,15 +563,22 @@ class Matrix_ps:
         return result.real / 2.0 if self._embedded else result.real
 
     def Dot_c(self, matB: "Matrix_ps"):
+        """Complex dot.  Embedded path is a collective host gather of BOTH
+        operands' triplets (O(global nnz) per host) — the embedding loses
+        the imaginary part of the device-side dot, so exactness costs a
+        round trip; prefer Dot when only the real part is needed."""
         _require_same_embedding(self, matB)
         if self._embedded:
-            # exact complex dot via extracted triplets (host-side; the
-            # embedding loses the imaginary part of the device-side dot)
+            # vectorized sorted-coordinate join on packed (row, col) keys
             ra, ca, va = self._triplets()
             rb, cb, vb = matB._triplets()
-            da = {(int(i), int(j)): x for i, j, x in zip(ra, ca, va)}
-            return complex(sum(np.conj(da.get((int(i), int(j)), 0.0)) * x
-                               for i, j, x in zip(rb, cb, vb)))
+            dim = self._cdim
+            ka, kb = ra * dim + ca, rb * dim + cb      # ka sorted
+            pos = np.searchsorted(ka, kb)
+            pos_c = np.minimum(pos, max(len(ka) - 1, 0))
+            hit = (pos < len(ka)) & (len(ka) > 0)
+            hit &= np.where(hit, ka[pos_c] == kb, False)
+            return complex(np.sum(np.conj(va[pos_c[hit]]) * vb[hit]))
         return complex(_alg.dot(self._m, matB._m))
 
     def Increment(self, matB: "Matrix_ps", alpha=1.0, threshold=0.0):
@@ -582,16 +591,22 @@ class Matrix_ps:
         _propagate(self, matB)
 
     def PairwiseMultiply(self, matA: "Matrix_ps", matB: "Matrix_ps"):
+        """Hadamard product.  The embedded path does NOT commute with the
+        embedding, so it is a collective host gather of both operands'
+        triplets (O(global nnz) per host) followed by a re-embed."""
         _require_same_embedding(matA, matB)
         if matA._embedded:
-            # the Hadamard product does NOT commute with the embedding;
-            # compute on extracted complex triplets and re-embed
+            # vectorized sorted-coordinate join on packed (row, col) keys
             ra, ca, va = matA._triplets()
-            db = {(int(i), int(j)): x
-                  for i, j, x in zip(*matB._triplets())}
-            vv = np.array([x * db.get((int(i), int(j)), 0.0)
-                           for i, j, x in zip(ra, ca, va)],
-                          dtype=np.complex128)
+            rb, cb, vb = matB._triplets()
+            dim = matA._cdim
+            ka, kb = ra * dim + ca, rb * dim + cb      # both sorted
+            pos = np.searchsorted(kb, ka)
+            pos_c = np.minimum(pos, max(len(kb) - 1, 0))
+            hit = (pos < len(kb)) & (len(kb) > 0)
+            hit &= np.where(hit, kb[pos_c] == ka, False)
+            vv = np.zeros(len(va), np.complex128)
+            vv[hit] = va[hit] * vb[pos_c[hit]]
             self._fill_triplets(ra, ca, vv, matA._cdim, grid=matA._m.grid,
                                 bs=matA._m.bs)
             return
@@ -601,6 +616,9 @@ class Matrix_ps:
     def Gemm(self, matA: "Matrix_ps", matB: "Matrix_ps", memory_pool=None,
              alpha=1.0, beta=0.0, threshold=0.0):
         _require_same_embedding(matA, matB)
+        if beta != 0.0:
+            # self is an operand too (the accumulate target)
+            _require_same_embedding(self, matA)
         if np.iscomplexobj(alpha) and matA._embedded:
             raise TypeError("complex alpha requires native complex; "
                             "real alpha commutes with the embedding")
@@ -617,9 +635,11 @@ class Matrix_ps:
         self._m = _alg.scale(self._m, constant)
 
     def Norm(self):
+        """Max column 1-norm.  The embedded path is a collective host
+        gather of the full triplet set (O(global nnz) per host): the
+        embedding's column sums see |Re| + |Im|, not |v|."""
         if self._embedded:
-            # exact complex column 1-norm from extracted triplets (the
-            # embedding's column sums see |Re| + |Im|, not |v|)
+            # exact complex column 1-norm from extracted triplets
             r, c, v = self._triplets()
             sums = np.zeros(self._cdim)
             np.add.at(sums, c.astype(np.int64), np.abs(v))
@@ -698,6 +718,7 @@ class DensityMatrixSolvers:
     @staticmethod
     def ScaleAndFold(Hamiltonian, InverseSquareRoot, nel, Density, homo,
                      lumo, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e = _density.scale_and_fold(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -708,6 +729,7 @@ class DensityMatrixSolvers:
 
     @staticmethod
     def DenseDensity(Hamiltonian, InverseSquareRoot, nel, Density, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _fermi.compute_dense_foe(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -719,6 +741,7 @@ class DensityMatrixSolvers:
     @staticmethod
     def EnergyDensityMatrix(Hamiltonian, Density, EnergyDensity,
                             threshold=0.0):
+        _require_same_embedding(Hamiltonian, Density)
         EnergyDensity._m = _density.energy_density_matrix(
             Hamiltonian._m, Density._m, threshold)
         _propagate(EnergyDensity, Hamiltonian)
@@ -741,6 +764,7 @@ class FermiOperator:
                         inv_temp=None, sp=None):
         if isinstance(inv_temp, SolverParameters):
             sp, inv_temp = inv_temp, None
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e, mu = _fermi.compute_dense_foe(
             Hamiltonian._m, InverseSquareRoot._m,
@@ -753,6 +777,7 @@ class FermiOperator:
     @staticmethod
     def WOM_GC(Hamiltonian, InverseSquareRoot, Density, chemical_potential,
                inv_temp, sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e = _fermi.wom_gc(Hamiltonian._m, InverseSquareRoot._m,
                              chemical_potential, inv_temp, _params_of(sp))
@@ -763,6 +788,7 @@ class FermiOperator:
     @staticmethod
     def WOM_C(Hamiltonian, InverseSquareRoot, Density, nel, inv_temp,
               sp=None):
+        _require_same_embedding(Hamiltonian, InverseSquareRoot)
         emb = Hamiltonian._embedded
         k, e = _fermi.wom_c(Hamiltonian._m, InverseSquareRoot._m,
                             2 * nel if emb else nel, inv_temp,
@@ -935,17 +961,45 @@ class EigenBounds:
         return _bounds.power_bounds(InputMat._m, _params_of(sp))
 
 
+def _embedded_dense(InputMat):
+    """Gather an embedded matrix to a host dense complex array — the
+    gather-to-LAPACK role of the reference's EigenSerial fallback
+    (eigenexa_includes/EigenSerial.f90)."""
+    r, c, v = InputMat._triplets()
+    n = InputMat._cdim
+    dense = np.zeros((n, n), np.complex128)
+    dense[r.astype(np.int64), c.astype(np.int64)] = v
+    return dense
+
+
 def _embedded_eigh(InputMat):
     """Eigendecomposition does NOT commute with the 2x2 embedding (the
     spectrum of E(C) is C's with doubled multiplicity), so embedded
     matrices are decomposed on the host: extract complex triplets, dense
     np.linalg.eigh — exactly the role of the reference's EigenSerial
     gather-to-LAPACK fallback (eigenexa_includes/EigenSerial.f90)."""
-    r, c, v = InputMat._triplets()
-    n = InputMat._cdim
-    dense = np.zeros((n, n), np.complex128)
-    dense[r.astype(np.int64), c.astype(np.int64)] = v
-    return np.linalg.eigh(dense)
+    return np.linalg.eigh(_embedded_dense(InputMat))
+
+
+def _host_pivoted_cholesky(a, rank: int):
+    """Rank-``rank`` pivoted Cholesky L (n x rank) with A ~= L L^H — the
+    host complex leg of the embedded ReduceDimension (same max-diagonal
+    pivot rule as solvers/analysis.py; reference AnalysisModule.F90:30-221,
+    aquilante2006fast)."""
+    n = a.shape[0]
+    ell = np.zeros((n, rank), dtype=a.dtype)
+    diag = np.real(np.diag(a)).copy().astype(np.float64)
+    for jj in range(rank):
+        p = int(np.argmax(diag))
+        val = diag[p]
+        if val <= 0:
+            break
+        col = (a[:, p] - ell[:, :jj] @ np.conj(ell[p, :jj])) / np.sqrt(val)
+        col[p] = np.sqrt(val)
+        ell[:, jj] = col
+        diag -= np.abs(col) ** 2
+        diag[p] = 0.0
+    return ell
 
 
 class EigenSolvers:
@@ -1006,12 +1060,32 @@ class EigenSolvers:
     @staticmethod
     def SingularValueDecomposition(InputMat, LeftVectors, RightVectors,
                                    SingularValues, sp=None):
+        """reference SingularValueSolversModule.F90:18-70.  A = L S R^H
+        with ascending singular values (eigh order, matching the
+        reference's polar + eigendecomposition route).  SVD factors do
+        not commute with the 2x2 embedding (doubled multiplicities), so
+        the embedded path runs a host complex SVD on the gathered dense
+        matrix — the same EigenSerial-style fallback as
+        EigenDecomposition."""
         if InputMat._embedded:
-            from .utils.errors import ComplexSupportError
-            raise ComplexSupportError(
-                "SVD factors do not commute with the 2x2 embedding "
-                "(doubled singular multiplicities); extract the matrix "
-                "(GetTripletList) and use a host SVD")
+            u, s, vh = np.linalg.svd(_embedded_dense(InputMat))
+            idx = np.argsort(s)                   # ascending, eigh order
+            left = u[:, idx]
+            right = np.conj(vh).T[:, idx]
+            n = InputMat._cdim
+            grid, bs = InputMat._m.grid, InputMat._m.bs
+
+            def fill(mat, dense):
+                ii, jj = np.nonzero(np.abs(dense) > 0)
+                mat._fill_triplets(ii, jj, dense[ii, jj] + 0j, n,
+                                   grid=grid, bs=bs)
+
+            fill(LeftVectors, left)
+            fill(RightVectors, right)
+            i = np.arange(n)
+            SingularValues._fill_triplets(i, i, s[idx] + 0j, n,
+                                          grid=grid, bs=bs)
+            return
         left, right, vals = _eigen.singular_value_decomposition(
             InputMat._m, _params_of(sp))
         LeftVectors._m, RightVectors._m, SingularValues._m = left, right, \
@@ -1048,12 +1122,24 @@ class Analysis:
 
     @staticmethod
     def ReduceDimension(InputMat, dim, ReducedMat, sp=None):
+        """reference AnalysisModule.F90:222-279.  The rank-dim subspace
+        slice does not commute with the 2x2 embedding, so the embedded
+        path replays the reference's algorithm host-side in native
+        complex: projector onto the lowest ``dim`` eigenstates (the TRS4
+        fixed point with trace target dim), rank-dim pivoted Cholesky of
+        it, rotate, slice."""
         if InputMat._embedded:
-            from .utils.errors import ComplexSupportError
-            raise ComplexSupportError(
-                "ReduceDimension's rank-dim subspace slice does not "
-                "commute with the 2x2 embedding; extract and reduce on "
-                "the host, or run on a native-complex backend")
+            h = _embedded_dense(InputMat)
+            w, v = np.linalg.eigh(h)
+            occ = v[:, :dim]
+            p = occ @ np.conj(occ).T              # TRS4(trace=dim) limit
+            ell = _host_pivoted_cholesky(p, dim)
+            vav = np.conj(ell).T @ h @ ell        # [dim, dim]
+            ii, jj = np.nonzero(np.abs(vav) > 0)
+            ReducedMat._fill_triplets(ii, jj, vav[ii, jj] + 0j, dim,
+                                      grid=InputMat._m.grid,
+                                      bs=InputMat._m.bs)
+            return
         ReducedMat._m = _analysis.reduce_dimension(InputMat._m, dim,
                                                    _params_of(sp))
         _propagate(ReducedMat, InputMat)

@@ -54,19 +54,19 @@ def extract_triplets(rows2, cols2, vals2, dim2: int):
     dim = dim2 // 2
     ul = (rows2 < dim) & (cols2 < dim)                 # A
     ll = (rows2 >= dim) & (cols2 < dim)                # B
-    coords = {}
-    for r, c, v in zip(rows2[ul], cols2[ul], vals2[ul]):
-        coords[(int(r), int(c))] = coords.get((int(r), int(c)), 0j) + v
-    for r, c, v in zip(rows2[ll] - dim, cols2[ll], vals2[ll]):
-        coords[(int(r), int(c))] = coords.get((int(r), int(c)), 0j) + 1j * v
-    if not coords:
+    # vectorized duplicate-sum on packed (row, col) keys (row-major, so
+    # np.unique's sort order IS lexicographic (i, j) order)
+    keys = np.concatenate([rows2[ul] * dim + cols2[ul],
+                           (rows2[ll] - dim) * dim + cols2[ll]])
+    contrib = np.concatenate([vals2[ul].astype(np.complex128),
+                              1j * vals2[ll].astype(np.complex128)])
+    if not len(keys):
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.complex128), dim)
-    items = sorted(coords.items())
-    i = np.array([k[0] for k, _ in items], np.int64)
-    j = np.array([k[1] for k, _ in items], np.int64)
-    v = np.array([val for _, val in items], np.complex128)
-    return i, j, v, dim
+    uk, inv = np.unique(keys, return_inverse=True)
+    v = np.zeros(len(uk), np.complex128)
+    np.add.at(v, inv, contrib)
+    return uk // dim, uk % dim, v, dim
 
 
 def embed(m: PM.PSMatrix, real_dtype=None) -> PM.PSMatrix:

@@ -189,36 +189,68 @@ def read(file_name: str, *, bs: int, grid=None, k: int | None = None,
     return PM.fill_from_triplets(m, i, j, v, mode=mode)
 
 
+def _format_body(r, c, v) -> bytes:
+    """Format triplet lines (1-based, %.16g) — the per-rank local leg of
+    the collective write."""
+    if native.available():
+        return native.mm_format(r, c, v)
+    out = []
+    if np.iscomplexobj(v):
+        for i, j, val in zip(r + 1, c + 1, v):
+            out.append(f"{i} {j} {val.real:.16g} {val.imag:.16g}\n")
+    else:
+        for i, j, val in zip(r + 1, c + 1, v):
+            out.append(f"{i} {j} {val:.16g}\n")
+    return "".join(out).encode()
+
+
 def write(mat: PM.PSMatrix, file_name: str):
     """Write coordinate-general MM (reference WriteMatrixToMatrixMarket).
 
-    Multi-process: owned-shard triplets are allgathered and rank 0 alone
-    formats the text (variable-width lines preclude the binary format's
-    precomputed pwrite offsets; an all-to-all route-to-root would pad
-    every bucket to the max and cost MORE).  Use the binary checkpoint
-    (`io.binary.write`, collective pwrites) as the scalable result path —
-    the reference makes the same split (WriteMatrixToBinary is the
-    checkpoint format, PSMatrixModule.F90:572-573)."""
+    Multi-process: COLLECTIVE, exactly the reference's pattern
+    (reference distributed_includes/WriteToMatrixMarket.f90:1-60) — each
+    rank formats its OWNED triplets locally (variable-width lines are no
+    obstacle: once formatted, the byte counts are known), the counts are
+    allgathered, exclusive-scanned into byte offsets, and every rank
+    pwrites its range; rank 0 writes the header.  No host ever holds
+    O(global nnz).  Requires a shared filesystem, like the reference."""
     from ..parallel import dist
-    r, c, v = PM.to_triplets(mat)
-    if dist.is_multiprocess() and dist.process_index() != 0:
+    if not dist.is_multiprocess():
+        r, c, v = PM.to_triplets(mat)
+        write_triplets(file_name, r, c, v, mat.dim)
         return
-    write_triplets(file_name, r, c, v, mat.dim)
+    from jax.experimental import multihost_utils as mhu
+    r, c, v = PM.to_triplets(mat, local=True)      # O(nnz/P) per process
+    # complexness must agree across ranks even when this rank owns zero
+    # triplets (empty concatenation defaults to float64)
+    is_complex = np.issubdtype(np.dtype(mat.dtype), np.complexfloating)
+    if is_complex and not np.iscomplexobj(v):
+        v = v.astype(np.complex128)
+    body = _format_body(r, c, v)
+    stats = np.asarray(mhu.process_allgather(
+        np.asarray([len(v), len(body)], np.int64)))        # [P, 2]
+    total_nnz = int(stats[:, 0].sum())
+    me = dist.process_index()
+    field = "complex" if is_complex else "real"
+    header = (f"%%MatrixMarket matrix coordinate {field} general\n"
+              f"{mat.dim} {mat.dim} {total_nnz}\n").encode()
+    offset = len(header) + int(stats[:me, 1].sum())
+    if me == 0:
+        with open(file_name, "wb") as f:
+            f.write(header)
+            # pre-size so concurrent pwrites land inside the file
+            f.truncate(len(header) + int(stats[:, 1].sum()))
+    mhu.sync_global_devices("mm_write_header")
+    with open(file_name, "r+b") as f:
+        f.seek(offset)
+        f.write(body)
+    mhu.sync_global_devices("mm_write_done")
 
 
 def write_triplets(file_name: str, r, c, v, dim: int):
-    is_complex = np.iscomplexobj(v)
-    field = "complex" if is_complex else "real"
+    field = "complex" if np.iscomplexobj(v) else "real"
     with open(file_name, "wb") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n"
                 .encode())
         f.write(f"{dim} {dim} {len(v)}\n".encode())
-        if native.available():
-            f.write(native.mm_format(r, c, v))
-        elif is_complex:
-            for i, j, val in zip(r + 1, c + 1, v):
-                f.write(f"{i} {j} {val.real:.16g} {val.imag:.16g}\n"
-                        .encode())
-        else:
-            for i, j, val in zip(r + 1, c + 1, v):
-                f.write(f"{i} {j} {val:.16g}\n".encode())
+        f.write(_format_body(r, c, v))

@@ -399,6 +399,18 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     dt = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
     assert not jnp.issubdtype(dt, jnp.complexfloating), \
         "pallas path is real-only; use bell for complex"
+    # the SMEM caps must hold even at _row_chunk's floor of 8 rows — this
+    # is public and jitted, so misuse must fail loudly here rather than
+    # emit an SMEM-overflowing pallas_call (callers normally consult
+    # eligible() first, which enforces the same preconditions)
+    if 8 * KA > MAX_GRID_STEPS or 8 * 4 * (KA + KA * KB) > \
+            SMEM_PREFETCH_BUDGET:
+        raise ValueError(
+            f"spgemm_pallas: shape KA={KA}, KB={KB} exceeds the SMEM "
+            f"budget even at the minimum row chunk (needs 8*KA <= "
+            f"{MAX_GRID_STEPS} grid steps and 32*(KA + KA*KB) <= "
+            f"{SMEM_PREFETCH_BUDGET} prefetch bytes); gate with "
+            "eligible() and fall back to the XLA paths")
 
     plan, occp, ucnt = structure_plan(a_cols, b_cols, k_out)
 

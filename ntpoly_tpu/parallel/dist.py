@@ -92,12 +92,66 @@ def allgather_triplets(rows, cols, vals):
     return (gi[..., 0][keep], gi[..., 1][keep], gv[keep])
 
 
+_exchange_calls = iter(range(1 << 62))     # lockstep collective counter
+
+
+def _exchange_kv(rows, cols, vals, dest, nproc: int):
+    """Exact-sized alltoallv over the jax.distributed key-value store:
+    every (src, dst) bucket travels as its own byte payload, so each
+    host's traffic is exactly sent + received bytes — the semantics of
+    the reference's MPI_Alltoallv with per-pair counts (reference
+    triplet_includes/RedistributeTripletLists.f90:32-35), with none of
+    the O(P x max_bucket) padding a uniform-chunk device all_to_all
+    pays under skewed ownership."""
+    from jax._src import distributed
+    from jax.experimental import multihost_utils as mhu
+    client = distributed.global_state.client
+    me = process_index()
+    gen = next(_exchange_calls)            # identical on every process
+    dt = np.dtype([("row", "<i4"), ("col", "<i4"),
+                   ("val", vals.dtype.str)])
+    order = np.argsort(dest, kind="stable")
+    sr, sc, sv, sd = rows[order], cols[order], vals[order], dest[order]
+    counts = np.bincount(sd, minlength=nproc)
+    offs = np.zeros(nproc + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    recs = np.empty(len(sr), dt)
+    recs["row"], recs["col"], recs["val"] = sr, sc, sv
+
+    def key(s, d):
+        return f"ntx/exchange/{gen}/{s}to{d}"
+
+    sent = []
+    for d in range(nproc):
+        if d == me:
+            continue
+        payload = recs[offs[d]:offs[d + 1]].tobytes()
+        # 1-byte prefix keeps empty buckets representable
+        client.key_value_set_bytes(key(me, d), b"\x01" + payload)
+        sent.append(key(me, d))
+    parts = [recs[offs[me]:offs[me + 1]]]
+    for s in range(nproc):
+        if s == me:
+            continue
+        data = client.blocking_key_value_get_bytes(key(s, me), 600_000)
+        parts.append(np.frombuffer(data[1:], dt))
+    # everyone has read before senders delete their keys
+    mhu.sync_global_devices(f"ntx_exchange_{gen}")
+    for k in sent:
+        client.key_value_delete(k)
+    out = np.concatenate(parts) if parts else np.empty(0, dt)
+    return (out["row"].astype(np.int64), out["col"].astype(np.int64),
+            out["val"].astype(vals.dtype))
+
+
 def exchange_triplets(rows, cols, vals, dest):
     """Route each (i, j, v) triplet to the process ``dest`` — the TPU-native
     alltoallv of the reference fill (reference distributed_includes/
-    FillMatrixFromTripletList.f90:25-46): per-destination buckets ride a
-    device ``lax.all_to_all`` over a one-device-per-process mesh, so each
-    host's traffic is O(its nnz + received nnz), never the global union.
+    FillMatrixFromTripletList.f90:25-46).  The default transport is the
+    exact-sized key-value-store exchange (:func:`_exchange_kv`); when the
+    distributed client is unavailable, per-destination buckets ride a
+    device ``lax.all_to_all`` over a one-device-per-process mesh (uniform
+    chunks: each host pays O(nproc * max bucket) padding there).
 
     Returns this process's received (rows, cols, vals).
     """
@@ -116,7 +170,17 @@ def exchange_triplets(rows, cols, vals, dest):
     iscomplex = np.iscomplexobj(vals)
     # indices ride int32 (exact to 2^31 rows — a float payload would
     # silently round above 2^24 when jax x64 is off); values ride their
-    # native real dtype
+    # native real dtype.  int32 wraps silently in numpy, so the bound is
+    # enforced, not assumed.
+    if len(rows) and max(int(rows.max()), int(cols.max())) >= 2 ** 31:
+        from ..utils.errors import MatrixDimensionError
+        raise MatrixDimensionError(
+            "exchange_triplets: coordinates >= 2^31 would wrap in the "
+            "int32 exchange payload; matrices beyond 2^31 rows are not "
+            "supported")
+    from jax._src import distributed
+    if distributed.global_state.client is not None:
+        return _exchange_kv(rows, cols, vals, dest, nproc)
     rdt = vals.real.dtype
 
     counts = np.bincount(dest, minlength=nproc)

@@ -457,16 +457,11 @@ def _rebuild_device(m: PSMatrix, new_dim: int, grid: ProcessGrid,
 def resize(m: PSMatrix, new_dim: int) -> PSMatrix:
     """ResizeMatrix (reference PSMatrixModule.F90): crop or zero-pad.
 
-    Device-side in single-process runs (O(shard) per device); the host
-    triplet path remains for multi-process meshes, where cross-mesh
-    device_put is not available."""
-    from . import dist
-    if not dist.is_multiprocess():
-        return _rebuild_device(m, new_dim, m.grid)
-    r, c, v = to_triplets(m)
-    keep = (r < new_dim) & (c < new_dim)
-    out = empty(new_dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=m.grid)
-    return fill_from_triplets(out, r[keep], c[keep], v[keep])
+    Device-side on the matrix's own mesh (O(shard) per device, XLA
+    collectives route block crossings) in single- AND multi-process runs
+    — no host ever materializes global triplets (the reference's
+    in-place regrid, PSMatrixModule.F90:309-347)."""
+    return _rebuild_device(m, new_dim, m.grid)
 
 
 @functools.partial(jax.jit, static_argnames=("rows",))
@@ -490,11 +485,18 @@ def load_balance_stats(m: PSMatrix) -> tuple[int, int]:
 
 def set_grid(m: PSMatrix, grid: ProcessGrid) -> PSMatrix:
     """Move a matrix onto a different process grid (reference
-    SetMatrixProcessGrid, PSMatrixModule.F90:309-347).  Single-process:
-    device-side reshard + re-panel; multi-process: host triplet path."""
+    SetMatrixProcessGrid, PSMatrixModule.F90:309-347).  Device-side
+    reshard + re-panel (the cross-mesh device_put inside _rebuild_device
+    reshards over the host network when the grids span different device
+    sets); the host triplet path remains only as a fallback for
+    multi-process configurations whose cross-mesh transfer the JAX
+    runtime rejects."""
     from . import dist
-    if not dist.is_multiprocess():
+    try:
         return _rebuild_device(m, m.dim, grid)
+    except (ValueError, RuntimeError):
+        if not dist.is_multiprocess():
+            raise
     r, c, v = to_triplets(m)
     out = empty(m.dim, bs=m.bs, k=m.k, dtype=m.dtype, grid=grid)
     return fill_from_triplets(out, r, c, v)
@@ -516,13 +518,12 @@ def get_slice(m: PSMatrix, start_row: int, end_row: int, start_col: int,
     """GetMatrixSlice (reference PSMatrixModule.F90:1153-1227): extract a
     sub-block as a new square PSMatrix (max of the two extents).
 
-    Block-aligned slices in single-process runs stay on device; the
-    general (unaligned or multi-process) case re-blocks via host
-    triplets."""
+    Block-aligned slices stay on device (single- and multi-process);
+    the general unaligned case re-blocks via host triplets."""
     from . import dist
     new_dim = max(end_row - start_row, end_col - start_col)
     aligned = (start_row % m.bs == 0 and start_col % m.bs == 0)
-    if aligned and not dist.is_multiprocess():
+    if aligned:
         return _rebuild_device(m, new_dim, m.grid,
                                row_off=start_row // m.bs,
                                col_off=start_col // m.bs,

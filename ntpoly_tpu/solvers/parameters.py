@@ -108,6 +108,12 @@ class SolverParameters:
     # Chunked-mode response when measured structural fill exceeds the
     # pinned capacity: 'grow' (redo chunk at the needed capacity — the
     # reference's never-drop pool growth), 'warn', 'raise', 'ignore'.
+    # Truncation quality note ('truncate'/'warn'/'ignore', or 'grow'
+    # capped at the panel width): overflowing rows keep the k_out LOWEST
+    # column ids — a structural rule, cheap in-kernel — not the k_out
+    # largest-norm blocks, so a truncated solve can drop a row's
+    # numerically largest block.  Size k_out (or let 'grow' run) so
+    # truncation never fires on converged workloads.
     on_overflow: str = "grow"
     # MXU pass count for the SpGEMM kernel: 'highest' (full f32, 6 bf16
     # passes, default — matches the library's tolerance claims) or

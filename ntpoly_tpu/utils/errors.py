@@ -31,6 +31,11 @@ class ComplexSupportError(NTPolyError, TypeError):
     or embed manually via ``ntpoly_tpu.core.cplx``."""
 
 
+class MatrixDimensionError(NTPolyError, ValueError):
+    """A matrix dimension exceeds a representational bound (e.g. the int32
+    coordinate payload of the multi-process triplet exchange)."""
+
+
 class ConvergenceError(NTPolyError, RuntimeError):
     """An iterative solver hit max_iterations without satisfying its
     convergence monitor."""

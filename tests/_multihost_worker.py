@@ -43,6 +43,26 @@ from ntpoly_tpu.solvers import density  # noqa: E402
 from ntpoly_tpu.solvers.parameters import SolverParameters  # noqa: E402
 
 grid = ProcessGrid(*grid_shape)       # all global devices
+if mode == "stress":
+    # r3 VERDICT weak #6: a multi-process case big enough that capacity
+    # regrow fires across a chunk boundary (k_out pinned below the
+    # purification fill-in) and the exact-sized KV exchange carries a
+    # six-figure triplet count.  Rank 0 logs the YAML trace; the parent
+    # greps it for the regrow marker.
+    from ntpoly_tpu.utils import logging as ntlog
+    if pid == 0:
+        ntlog.activate_logger(os.path.join(workdir, "stress_log.yaml"))
+    h = mm.read(os.path.join(workdir, "h.mtx"), bs=32, grid=grid)
+    isq = PM.identity(h.dim, bs=32, dtype=h.dtype, grid=grid)
+    params = SolverParameters(converge_diff=1e-8, threshold=1e-9,
+                              iters_per_sync=4, k_out=2, be_verbose=True)
+    rho, energy, mu = density.trs4(h, isq, float(h.dim // 2), params)
+    if pid == 0:
+        ntlog.deactivate_logger()
+    mm.write(rho, os.path.join(workdir, "rho_mh.mtx"))
+    print(f"MHENERGY {pid} {float(energy):.12f} {float(mu):.8f}",
+          flush=True)
+    sys.exit(0)
 if mode == "prepartitioned":
     # the O(nnz/P) scalable path end-to-end: every process reads the WHOLE
     # small file but keeps only the triplets its own shards store

@@ -32,6 +32,16 @@ if _lib is not None:
     _lib.ntx_mm_format.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+    _lib.ntx_fill_sort.restype = ctypes.c_int64
+    _lib.ntx_fill_sort.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    _lib.ntx_fill_build.restype = ctypes.c_int64
+    _lib.ntx_fill_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
 
 def available() -> bool:
@@ -88,6 +98,35 @@ def mm_parse_range(body: bytes, field: int):
     if field == FIELD_PATTERN:
         vals = np.ones(n)
     return ri, ci, vals
+
+
+def fill_blocks(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                bs: int, nb: int, pnb: int):
+    """Triplets -> sorted unique-block arrays (sp, sr, slot, sc, blocks, k)
+    for ``pmatrix._build_sharded`` — the threaded replacement of the
+    numpy add.at/unique/lexsort chain (the host leg of the r3 fill wall:
+    ~51 s -> seconds at 25.7M triplets).  Real f32/f64 only."""
+    if _lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(rows)
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals)
+    dt = {np.dtype(np.float32): 0, np.dtype(np.float64): 1}[vals.dtype]
+    order = np.empty(n, np.int64)
+    keys = np.empty(n, np.int64)
+    nub = _lib.ntx_fill_sort(_ptr(rows), _ptr(cols), n, bs, nb, pnb,
+                             _ptr(order), _ptr(keys))
+    sp = np.empty(nub, np.int64)
+    sr = np.empty(nub, np.int64)
+    slot = np.empty(nub, np.int64)
+    sc = np.empty(nub, np.int64)
+    blocks = np.empty((nub, bs, bs), vals.dtype)
+    k = _lib.ntx_fill_build(_ptr(rows), _ptr(cols), _ptr(vals), dt, n,
+                            _ptr(order), _ptr(keys), bs, nb, pnb,
+                            _ptr(sp), _ptr(sr), _ptr(slot), _ptr(sc),
+                            _ptr(blocks))
+    return sp, sr, slot, sc, blocks, int(k)
 
 
 def mm_format(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:

@@ -13,27 +13,32 @@ import os
 import subprocess
 import tempfile
 
-_SRC = os.path.join(os.path.dirname(__file__), "mmio.cpp")
+_SRCS = [os.path.join(os.path.dirname(__file__), name)
+         for name in ("mmio.cpp", "blockfill.cpp")]
 
 
 def _cache_path() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    digest = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            digest.update(f.read())
     cache_dir = os.environ.get(
         "NTPOLY_TPU_CACHE",
         os.path.join(tempfile.gettempdir(), "ntpoly_tpu_native"))
     os.makedirs(cache_dir, exist_ok=True)
-    return os.path.join(cache_dir, f"libntxhost_{digest}.so")
+    return os.path.join(cache_dir,
+                        f"libntxhost_{digest.hexdigest()[:16]}.so")
 
 
 def build(verbose: bool = False) -> str | None:
-    """Compile mmio.cpp if not cached; returns the .so path or None."""
+    """Compile the native sources if not cached; returns the .so path or
+    None."""
     out = _cache_path()
     if os.path.exists(out):
         return out
     tmp = out + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", tmp]
+           "-pthread", *_SRCS, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):

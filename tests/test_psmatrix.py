@@ -277,3 +277,53 @@ def test_fill_host_allocation_is_shard_local(rng):
     m = PM.fill_from_triplets(m, i, i, np.ones(dim, m.dtype))
     assert PM._build_stats["max_shard_bytes"] <= global_bytes // 4 + 1
     assert float(np.asarray(PM.to_dense(m)).trace()) == dim
+
+
+def test_native_fill_matches_numpy(rng):
+    """r4: the threaded C++ fill (native/blockfill.cpp) must be
+    bit-identical to the numpy path it accelerates (the reference's
+    sort + CSR build, triplet_includes/SortTripletList.f90)."""
+    from ntpoly_tpu import native
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    if not native.available():
+        pytest.skip("native library unavailable")
+    dim, bs, n = 1024, 16, 70_000       # above the native-path cutoff
+    i = rng.integers(0, dim, n)
+    j = rng.integers(0, dim, n)
+    v = rng.random(n)
+    grid = ProcessGrid(2, 2, 1)
+    base = PM.empty(dim, bs=bs, grid=grid, dtype=np.float64)
+    m_nat = PM.fill_from_triplets(base, i, j, v)
+    orig = native.available
+    native.available = lambda: False
+    try:
+        m_np = PM.fill_from_triplets(base, i, j, v)
+    finally:
+        native.available = orig
+    assert m_nat.k == m_np.k
+    assert np.abs(np.asarray(PM.to_dense(m_nat))
+                  - np.asarray(PM.to_dense(m_np))).max() == 0
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (2, 2, 2), (1, 2, 4)])
+def test_fill_banded_device_side(shape):
+    """r4: device-side banded generation (no host triplets, no upload)
+    matches the dense reference, swept over grids."""
+    import jax.numpy as jnp
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+
+    def fn(i, j):
+        return jnp.where(i == j, 2.0, 0.3) * jnp.cos(0.01 * (i + j))
+
+    for dim, bs, hb in [(100, 8, 5), (64, 16, 0), (50, 4, 3)]:
+        m = PM.banded(dim, hb, fn, bs=bs, grid=ProcessGrid(*shape))
+        d = np.asarray(PM.to_dense(m))
+        i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        ref = (np.where(i == j, 2.0, 0.3) * np.cos(0.01 * (i + j))
+               * (np.abs(i - j) <= hb))
+        assert np.abs(d - ref).max() < 1e-14
+        # the generated capacity is the analytic band capacity
+        assert m.k <= min(2 * ((hb - 1) // bs + 1 if hb else 0) + 1,
+                          m.panel_nb)

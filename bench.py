@@ -71,6 +71,42 @@ def _fill(dim, bs, grid, i, j, v, k=1):
     return PM.fill_from_triplets(h, i, j, v)
 
 
+def _chain_fn(dim):
+    """Device-side value function of the tight-binding chain
+    (_chain_hamiltonian's closed form, for PM.fill_banded)."""
+    import jax.numpy as jnp
+
+    def fn(i, j):
+        off = jnp.abs(i - j).astype(jnp.float32)
+        hop = 1.0 / (1.0 + off) ** 2
+        diag = -1.0 + 2.0 * i.astype(jnp.float32) / (dim - 1)
+        return jnp.where(off == 0, diag, hop)
+    return fn
+
+
+def _gapped_fn():
+    """Device-side value function of the gapped (insulating) chain."""
+    import jax.numpy as jnp
+
+    def fn(i, j):
+        off = jnp.abs(i - j).astype(jnp.float32)
+        hop = 0.25 / (1.0 + off) ** 2
+        stag = jnp.where(i % 2 == 0, 0.15, -0.15)
+        return jnp.where(off == 0, stag, hop)
+    return fn
+
+
+def _oracle_rel_err(mat, ref_dense):
+    """Relative Frobenius error of a device result vs a host f64 oracle —
+    the reference's acceptance bar (UnitTests/helpers.py:13)."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    r, c, v = PM.to_triplets(mat)
+    got = np.zeros(ref_dense.shape)
+    got[r, c] = v.astype(np.float64)
+    return float(np.linalg.norm(got - ref_dense)
+                 / np.linalg.norm(ref_dense))
+
+
 def bench_spgemm(grid, on_cpu):
     """Headline: X @ X with threshold truncation on a banded Hamiltonian."""
     import jax
@@ -142,43 +178,48 @@ def _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value, method,
     import jax.numpy as jnp
     from ntpoly_tpu.parallel import algebra as alg
     if not on_cpu:
-        # secondary: the opt-in 3-pass MXU mode (params.precision='high')
-        def chain_fast(n):
+        # secondaries: the opt-in 3-pass MXU mode (precision='high') and
+        # the bf16-quantized single-pass tier (precision='bf16', the r3
+        # VERDICT traffic-halving prototype)
+        def chain_fast(n, prec):
             @jax.jit
             def chain(x):
                 def step(carry, aa):
                     xs = x.with_data(x.col_ids, x.blocks * aa)
                     c = alg.matmul(xs, x, threshold=threshold, k_out=k_out,
                                    on_overflow="truncate",
-                                   precision="high")
+                                   precision=prec)
                     return carry + c.blocks[0, 0, 0, 0, 0], None
                 tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                       jnp.linspace(1.0, 2.0, n,
                                                    dtype=jnp.float32))
                 return tot
             return chain
-        tf = {}
-        for n in (reps, 3 * reps):
-            fn = chain_fast(n)
-            float(fn(h))
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(fn(h))
-                ts.append(time.perf_counter() - t0)
-            tf[n] = min(ts)
-        dtf = (tf[3 * reps] - tf[reps]) / (2 * reps)
-        # accuracy of the 3-pass mode vs full precision on one multiply
+
         c_hi = alg.matmul(h, h, threshold=threshold, k_out=k_out,
                           on_overflow="truncate")
-        c_f3 = alg.matmul(h, h, threshold=threshold, k_out=k_out,
-                          on_overflow="truncate", precision="high")
-        num = float(jnp.max(jnp.abs(c_f3.blocks - c_hi.blocks)))
-        den = float(jnp.max(jnp.abs(c_hi.blocks)))
-        _emit("spgemm_nnz_per_s_f32x3", nnz / dtf, "nnz/s",
-              nnz / dtf / 1e9, method=method, precision="high",
-              ms_per_multiply=dtf * 1e3,
-              max_rel_err_vs_highest=num / den)
+        for prec, metric in (("high", "spgemm_nnz_per_s_f32x3"),
+                             ("bf16", "spgemm_nnz_per_s_bf16")):
+            tf = {}
+            for n in (reps, 3 * reps):
+                fn = chain_fast(n, prec)
+                float(fn(h))
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(fn(h))
+                    ts.append(time.perf_counter() - t0)
+                tf[n] = min(ts)
+            dtf = (tf[3 * reps] - tf[reps]) / (2 * reps)
+            # accuracy vs full precision on one multiply
+            c_lo = alg.matmul(h, h, threshold=threshold, k_out=k_out,
+                              on_overflow="truncate", precision=prec)
+            num = float(jnp.max(jnp.abs(c_lo.blocks - c_hi.blocks)))
+            den = float(jnp.max(jnp.abs(c_hi.blocks)))
+            _emit(metric, nnz / dtf, "nnz/s",
+                  nnz / dtf / 1e9, method=method, precision=prec,
+                  ms_per_multiply=dtf * 1e3,
+                  max_rel_err_vs_highest=num / den)
         # re-emit the full-precision headline LAST (driver parses the
         # final JSON line)
         _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9,
@@ -214,9 +255,15 @@ def bench_hotelling(grid, on_cpu):
     wall = time.perf_counter() - t0
     deactivate_logger()
     iters, _ = _solve_stats(log)
+    # r3 VERDICT weak #5: on-chip result vs host f64 scipy-style oracle
+    # (the reference's acceptance bar, UnitTests/helpers.py:13)
+    s_dense = np.zeros((dim, dim))
+    s_dense[i, j] = v.astype(np.float64)
+    oracle = np.linalg.inv(s_dense)
     _emit("hotelling_invert_s", wall, "s", method=method,
           iterations=iters,
-          s_per_iteration=(wall / iters) if iters else None)
+          s_per_iteration=(wall / iters) if iters else None,
+          oracle_rel_err=_oracle_rel_err(inv, oracle))
 
 
 def bench_trs4(grid, on_cpu):
@@ -228,7 +275,8 @@ def bench_trs4(grid, on_cpu):
 
     dim = 1024 if on_cpu else 10240
     bs = 32 if on_cpu else 128
-    h = _fill(dim, bs, grid, *_gapped_chain(dim, bandwidth=16))
+    ti, tj, tv = _gapped_chain(dim, bandwidth=16)
+    h = _fill(dim, bs, grid, ti, tj, tv)
     isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
     nel = dim // 2                       # half filling: mu in the gap
     import os
@@ -248,8 +296,35 @@ def bench_trs4(grid, on_cpu):
     wall = time.perf_counter() - t0
     deactivate_logger()
     iters, _ = _solve_stats(log)
+    # r3 VERDICT weak #5: on-chip density vs host f64 eigendecomposition
+    # oracle (reference acceptance bar, UnitTests/helpers.py:13)
+    h_dense = np.zeros((dim, dim))
+    h_dense[ti, tj] = tv.astype(np.float64)
+    w, vec = np.linalg.eigh(h_dense)
+    occ = vec[:, :nel]
+    rho_ref = occ @ occ.T
+    err = _oracle_rel_err(rho, rho_ref)
     _emit("trs4_10k_wall_s", wall, "s", method=method, iterations=iters,
-          s_per_iteration=(wall / iters) if iters else None)
+          s_per_iteration=(wall / iters) if iters else None,
+          oracle_rel_err=err)
+    # r3 VERDICT weak #1: the 3-pass MXU mode validated at SOLVER level —
+    # same iterations-to-tolerance and oracle error, or it stays opt-in
+    if not on_cpu:
+        ph = params.copy()
+        ph.precision = "high"
+        _sync(density.trs4(h, isq, float(nel), ph)[0])   # warm
+        log2 = os.path.join(tempfile.mkdtemp(), "log_high.yaml")
+        activate_logger(log2)
+        t0 = time.perf_counter()
+        rho_h, _, _ = density.trs4(h, isq, float(nel), ph)
+        _sync(rho_h)
+        wall_h = time.perf_counter() - t0
+        deactivate_logger()
+        iters_h, _ = _solve_stats(log2)
+        _emit("trs4_10k_high_wall_s", wall_h, "s", method=method,
+              precision="high", iterations=iters_h,
+              s_per_iteration=(wall_h / iters_h) if iters_h else None,
+              oracle_rel_err=_oracle_rel_err(rho_h, rho_ref))
 
 
 def bench_trs4_100k(grid, on_cpu):
@@ -294,19 +369,31 @@ def bench_trs4_100k(grid, on_cpu):
 
 
 def bench_fill_1m(grid, on_cpu):
-    """Half-million-row construction + one threshold-filtered multiply on
-    the single chip (VERDICT r2 missing #1 asked for >=500k within host
-    RAM).  1M rows also works but the ~1 GB device upload exceeds the
-    tunneled backend's bench window."""
-    import jax
-    from ntpoly_tpu.parallel import algebra as alg
+    """Million-row construction + one threshold-filtered multiply on the
+    single chip (r3 VERDICT missing #4: nothing at >=2^20 rows).
 
-    dim = 65536 if on_cpu else 524288
+    Construction is DEVICE-SIDE (PM.fill_banded: analytic band structure
+    + elementwise value function under jit) — r3's 362 s at half this
+    size was ~51 s of single-threaded numpy + ~300 s of tunnel upload,
+    both of which this path deletes.  The generic triplet path (now
+    backed by the threaded native/blockfill.cpp) is timed separately at
+    a smaller dim so its regression is still visible."""
+    from ntpoly_tpu.parallel import algebra as alg
+    from ntpoly_tpu.parallel import pmatrix as PM
+
+    dim = 131072 if on_cpu else 1048576
     bs = 128
     t0 = time.perf_counter()
-    h = _fill(dim, bs, grid, *_chain(dim, bandwidth=24))
+    h = PM.banded(dim, 24, _chain_fn(dim), bs=bs, grid=grid,
+                  dtype=np.float32)
     _sync(h)
     fill_s = time.perf_counter() - t0
+    # generic triplet path (host parse + native block build + upload)
+    tdim = 32768 if on_cpu else 262144
+    t0 = time.perf_counter()
+    ht = _fill(tdim, bs, grid, *_chain(tdim, bandwidth=24))
+    _sync(ht)
+    triplet_fill_s = time.perf_counter() - t0
     k_out = alg.fill_bound(h, h)
     c = alg.matmul(h, h, threshold=1e-6, k_out=k_out,
                    on_overflow="truncate")     # compile + run
@@ -318,7 +405,51 @@ def bench_fill_1m(grid, on_cpu):
     mult_s = time.perf_counter() - t0
     nnz = 2 * int(h.nnz) + int(c.nnz)
     _emit("fill_1m_s", fill_s, "s", dim=dim, nnz=int(h.nnz),
-          multiply_s=mult_s, multiply_nnz_per_s=nnz / mult_s)
+          method="device_banded", triplet_fill_s=triplet_fill_s,
+          triplet_fill_dim=tdim, multiply_s=mult_s,
+          multiply_nnz_per_s=nnz / mult_s)
+
+
+def bench_trs4_1m(grid, on_cpu):
+    """BASELINE config 5 (single-chip leg): TRS4 purification to 1e-6 on
+    a >=2^20-row gapped chain — the driver north star's dimension on the
+    hardware that exists.  Construction is device-side; capacity is
+    pinned to keep the live set inside HBM."""
+    from ntpoly_tpu.parallel import pmatrix as PM
+    from ntpoly_tpu.solvers import density
+    from ntpoly_tpu.solvers.parameters import SolverParameters
+    from ntpoly_tpu.utils.logging import activate_logger, deactivate_logger
+    import tempfile
+    import os
+
+    dim = 8192 if on_cpu else 1048576
+    bs = 32 if on_cpu else 128
+    h = PM.banded(dim, 16, _gapped_fn(), bs=bs, grid=grid,
+                  dtype=np.float32)
+    isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
+    nel = dim // 2
+    params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
+                              iters_per_sync=4, k_out=6,
+                              on_overflow="warn", be_verbose=True)
+    warm = params.copy()
+    warm.be_verbose = False
+    warm.max_iterations = warm.iters_per_sync
+    _sync(density.trs4(h, isq, float(nel), warm)[0])
+    log = os.path.join(tempfile.mkdtemp(), "trs4_1m.yaml")
+    activate_logger(log)
+    t0 = time.perf_counter()
+    rho, energy, mu = density.trs4(h, isq, float(nel), params)
+    _sync(rho)
+    wall = time.perf_counter() - t0
+    deactivate_logger()
+    iters, _ = _solve_stats(log)
+    rho_nnz = int(rho.nnz)
+    # 2 SpGEMMs per TRS4 iteration; nnz/s counts processed nonzeros
+    nnz_per_iter = 2 * (2 * int(h.nnz) + rho_nnz)
+    _emit("trs4_1m_wall_s", wall, "s", dim=dim, iterations=iters,
+          s_per_iteration=(wall / iters) if iters else None,
+          rho_nnz=rho_nnz,
+          nnz_per_s=(iters * nnz_per_iter / wall) if iters else None)
 
 
 def bench_complex_isq_sign(grid, on_cpu):
@@ -403,14 +534,15 @@ CONFIGS = {
     "hotelling": bench_hotelling,
     "trs4": bench_trs4,
     "trs4_100k": bench_trs4_100k,
+    "trs4_1m": bench_trs4_1m,
     "fill_1m": bench_fill_1m,
     "complex": bench_complex_isq_sign,
     "cheby": bench_cheby_exp_log,
 }
 
 # Printed order: headline LAST (the driver parses the last JSON line).
-ORDER = ["hotelling", "trs4", "trs4_100k", "fill_1m", "complex", "cheby",
-         "spgemm"]
+ORDER = ["hotelling", "trs4", "trs4_100k", "trs4_1m", "fill_1m", "complex",
+         "cheby", "spgemm"]
 
 
 def run_one(name):
@@ -450,7 +582,8 @@ def main():
 
     # headline first in execution (most important to complete), last in
     # output
-    budget = {"spgemm": 540, "trs4_100k": 1200, "fill_1m": 900}
+    budget = {"spgemm": 720, "trs4": 720, "trs4_100k": 1200,
+              "trs4_1m": 1800, "fill_1m": 900}
     for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
         attempt(name, budget.get(name, 360))
     # the tunneled backend's compile stalls are transient: one retry pass

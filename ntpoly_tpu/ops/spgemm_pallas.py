@@ -132,7 +132,13 @@ def structure_plan(a_cols: Array, b_cols: Array, k_out: int
 
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "high": jax.lax.Precision.HIGH,
-               "default": jax.lax.Precision.DEFAULT}
+               "default": jax.lax.Precision.DEFAULT,
+               # 'bf16': operands quantized to bfloat16 before the kernel
+               # (ONE MXU pass + half the HBM stream), f32 accumulate.
+               # ~2^-8 relative error — a speed tier for high-threshold
+               # workloads and the storage-traffic prototype (r3 VERDICT
+               # weak #1), not for 1e-6-tolerance solves.
+               "bf16": jax.lax.Precision.DEFAULT}
 
 
 def _kernel(acols_ref, plan_ref, scal_ref,         # scalar prefetch
@@ -322,7 +328,7 @@ def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
 
 def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
                  *, kb: int, nbk: int, k_out: int, interpret: bool,
-                 precision: str = "highest"):
+                 precision: str = "highest", out_dt=None):
     """Numeric pass as a fully pipelined pallas pipeline: grid (R, KA); the
     B block-row for step (r, s) is fetched by a *gather BlockSpec* whose
     index map reads the prefetched col ids (so Pallas double-buffers the
@@ -333,7 +339,7 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
     slot, so no XLA pass ever re-reads the block tensor."""
     R, KA = a_cols.shape
     bs = a_blocks.shape[-1]
-    dt = a_blocks.dtype
+    dt = jnp.dtype(out_dt) if out_dt is not None else a_blocks.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(R, KA),
@@ -414,12 +420,17 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
 
     plan, occp, ucnt = structure_plan(a_cols, b_cols, k_out)
 
+    # bf16 tier: quantize the streamed operands (the dominant HBM
+    # traffic) and accumulate f32 — one MXU pass instead of six
+    compute_dt = jnp.bfloat16 if (precision == "bf16"
+                                  and dt == jnp.float32) else dt
+
     # B rows concatenated along columns: (NBK, bs, KB*bs) — one wide MXU
     # dot per A slot instead of KB tiny ones.
-    b_panel = jnp.swapaxes(b_blocks.astype(dt), -3, -2).reshape(
+    b_panel = jnp.swapaxes(b_blocks.astype(compute_dt), -3, -2).reshape(
         NBK, bs, KB * bs)
 
-    ab = a_blocks.astype(dt)
+    ab = a_blocks.astype(compute_dt)
     scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
                       jnp.asarray(threshold, jnp.float32)]).astype(dt)
 
@@ -430,7 +441,7 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
         cb_i, np_i = _call_kernel(
             a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
             b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret,
-            precision=precision)
+            precision=precision, out_dt=dt)
         cbs.append(cb_i)
         nps.append(np_i)
     cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)

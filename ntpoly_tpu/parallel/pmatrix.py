@@ -193,10 +193,26 @@ def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
 def identity(dim: int, *, bs: int, k: int | None = None, dtype=None,
              grid: ProcessGrid | None = None, scale: float = 1.0) -> PSMatrix:
     """FillMatrixIdentity (reference PSMatrixModule.F90:864-979): ones on the
-    actual (unpadded) diagonal."""
-    m = empty(dim, bs=bs, k=k, dtype=dtype, grid=grid)
-    i = np.arange(dim)
-    return fill_from_triplets(m, i, i, np.full(dim, scale, m.dtype))
+    actual (unpadded) diagonal.  Generated device-side (a band of width 0)
+    — no host triplets, no upload (0.5 GB saved per identity at 2^20
+    rows over the tunneled backend)."""
+    m = empty(dim, bs=bs, dtype=dtype, grid=grid)
+    s = np.asarray(scale).item()
+
+    def fn(i, j, _s=s):
+        return jnp.where(i == j, _s, 0.0)
+
+    out = fill_banded(m, 0, fn)
+    if k and k > out.k:                   # honor a requested capacity
+        pads = min(k, out.panel_nb) - out.k
+        cc = jnp.pad(out.col_ids, ((0, 0), (0, 0), (0, pads)),
+                     constant_values=EMPTY)
+        cb = jnp.pad(out.blocks,
+                     ((0, 0), (0, 0), (0, pads), (0, 0), (0, 0)))
+        sh = out.grid.matrix_sharding
+        out = out.with_data(jax.lax.with_sharding_constraint(cc, sh),
+                            jax.lax.with_sharding_constraint(cb, sh))
+    return out
 
 
 def fill_from_triplets(m: PSMatrix, rows, cols, vals,

@@ -285,6 +285,339 @@ def _kernel_v2(acols_ref, plan_ref, scal_ref,      # scalar prefetch
         copy_for(r, 0, slot_of(r + 1, 0)).wait()
 
 
+def _kernel_v3(acols_ref, plan_ref, wlo_ref, scal_ref,   # scalar prefetch
+               arow_ref,                     # [G, KA, bs, bs] VMEM
+               bpan_hbm,                     # [NBK, bs, KB*bs] HBM
+               oblk_ref, nrm_ref,            # [G, k_out, ...] VMEM outputs
+               bwin, sem,                    # scratch
+               *, ka: int, kb: int, k_out: int, nbk: int, g_rows: int,
+               w: int, precision: str):
+    """The WINDOWED row-batch kernel for low-K (banded) shapes.
+
+    r3's kernels pay one B-row DMA per (row, A-slot); on a banded
+    matrix consecutive rows reference overlapping B rows, so a group of
+    G rows needs only W = KA + G - 1 distinct rows.  One grid step per
+    group: the whole window rides ONE contiguous double-buffered DMA
+    (prefetched across groups), G*KA wide dots run from the resident
+    window, and the per-group epilogue finalizes in VMEM.  This also
+    collapses the row-chunked multi-call + concatenate pipeline (13
+    pallas_calls + a 1.3 GB concat at the 2^19 bench shape) into a
+    single call (measured in PROFILE_r04_lowk.json: 14.7 ms kernel +
+    17 ms of XLA glue at that shape, against a 3.0 ms stream floor).
+    """
+    # acols_ref and plan_ref are FLATTENED 1-D prefetch arrays
+    # ([R*KA], [R*KA*KB]): a 2-D SMEM operand pads its minor dim to the
+    # 128-lane width, so the [R, KA*KB] plan would cost R*512 bytes of
+    # SMEM (2.1 MB at nb=4096 — over the 1 MB budget, measured).
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    bs = arow_ref.shape[-1]
+
+    def copy_for(grp, slot):
+        lo = jnp.minimum(wlo_ref[grp], nbk - w)
+        return pltpu.make_async_copy(bpan_hbm.at[pl.ds(lo, w)],
+                                     bwin.at[slot], sem.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        copy_for(g + 1, (g + 1) % 2).start()
+
+    copy_for(g, g % 2).wait()
+    oblk_ref[...] = jnp.zeros_like(oblk_ref)
+    win_lo = jnp.minimum(wlo_ref[g], nbk - w)
+    for i in range(g_rows):
+        r = g * g_rows + i
+        for s in range(ka):
+
+            @pl.when(acols_ref[r * ka + s] != EMPTY)
+            def _(i=i, s=s, r=r):
+                local = jnp.clip(acols_ref[r * ka + s] - win_lo, 0, w - 1)
+                a = arow_ref[i, s]
+                b = bwin[g % 2, local]
+                if precision == "high" and a.dtype == jnp.float32:
+                    a_hi = a.astype(jnp.bfloat16)
+                    a_lo = (a - a_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    b_hi = b.astype(jnp.bfloat16)
+                    b_lo = (b - b_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    part = (jnp.dot(a_hi, b_hi,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(a_lo, b_hi,
+                                      preferred_element_type=jnp.float32)
+                            + jnp.dot(a_hi, b_lo,
+                                      preferred_element_type=jnp.float32))
+                    part = part.astype(oblk_ref.dtype)
+                else:
+                    part = jnp.dot(a, b,
+                                   preferred_element_type=oblk_ref.dtype,
+                                   precision=_PRECISIONS[precision])
+                for t in range(kb):
+                    gg = plan_ref[(r * ka + s) * kb + t]
+
+                    @pl.when(gg < k_out)
+                    def _(t=t, gg=gg):
+                        oblk_ref[i, gg] += part[:, t * bs:(t + 1) * bs]
+
+    scaled = oblk_ref[...] * scal_ref[0]
+    flushed = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+    oblk_ref[...] = flushed
+    nrm_ref[...] = jnp.sum(jnp.abs(flushed), axis=2)
+
+
+def _call_kernel_v3(a_cols, plan, wlo, scal, a_blocks, b_panel,
+                    *, kb: int, nbk: int, k_out: int, g_rows: int, w: int,
+                    precision: str, out_dt, interpret: bool = False):
+    R, KA = a_cols.shape
+    bs = a_blocks.shape[-1]
+    dt = jnp.dtype(out_dt)
+    ng = R // g_rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((g_rows, KA, bs, bs), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # B stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((g_rows, k_out, bs, bs),
+                         lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_rows, k_out, bs), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w, bs, kb * bs), a_blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_v3, ka=KA, kb=kb, k_out=k_out,
+                               nbk=nbk, g_rows=g_rows, w=w,
+                               precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=V3_VMEM_BUDGET),
+        out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+                   jax.ShapeDtypeStruct((R, k_out, bs), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=R * KA * 2 * bs * bs * kb * bs,
+            bytes_accessed=(R * KA * bs * bs + ng * w * kb * bs * bs
+                            + R * k_out * bs * bs) * dt.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(a_cols.reshape(-1), plan.reshape(-1), wlo, scal, a_blocks, b_panel)
+
+
+def band_plan(a_cols: Array, b_cols: Array, k_out: int):
+    """Offset-form output plan for the band kernel (v4).
+
+    When every referenced B row is *arithmetically contiguous* — all its
+    valid cols satisfy ``col(t) = base + t`` (EMPTY holes anywhere are
+    fine: their blocks are zero) — the product of A slot s lands at
+    output offset ``gg0 = base(acol_s) - occ0`` and its KB column blocks
+    at gg0..gg0+KB-1, so the kernel can accumulate each partial product
+    with ONE dynamic-start contiguous slice-add instead of KB
+    dynamic-slot scatters (the scatters are the measured ~6.5 ms fixed
+    cost of the windowed kernel at the banded bench shape,
+    PROFILE_r04_lowk.json).
+
+    Returns (gg0 [R, KA] int32, occ0 [R] int32, ok scalar bool) where ok
+    also requires every row's output span to fit ``k_out``.
+    """
+    R, KA = a_cols.shape
+    NBK, KB = b_cols.shape
+    big = jnp.int32(EMPTY)
+    t_idx = jnp.arange(KB, dtype=jnp.int32)
+    validb = b_cols != EMPTY
+    base_all = jnp.where(validb, b_cols - t_idx, big)
+    base_min = jnp.min(base_all, axis=1)                     # [NBK]
+    base_max = jnp.max(jnp.where(validb, b_cols - t_idx, -1), axis=1)
+    has_b = jnp.any(validb, axis=1)
+    b_ok = jnp.all(~has_b | (base_min == base_max))
+    base = jnp.where(has_b, base_min, 0).astype(jnp.int32)
+    valida = a_cols != EMPTY
+    ks = jnp.where(valida, a_cols, 0)
+    rbase = jnp.where(valida, base[ks], big)                 # [R, KA]
+    occ0 = jnp.min(rbase, axis=1)                            # [R]
+    occ0 = jnp.where(occ0 == big, 0, occ0)
+    hi = jnp.max(jnp.where(valida, rbase + KB, -big), axis=1)
+    span_ok = jnp.all(~jnp.any(valida, axis=1)
+                      | (hi - occ0 <= k_out))
+    # base can only be negative for a (zero-block) head hole pattern
+    # like cols [EMPTY, 0, ...]; clamp so offsets stay in range
+    gg0 = jnp.clip(jnp.where(valida, rbase - occ0[:, None], 0),
+                   0, max(k_out - KB, 0)).astype(jnp.int32)
+    return gg0, occ0.astype(jnp.int32), b_ok & span_ok
+
+
+def _kernel_v4(acols_ref, gg0_ref, wlo_ref, scal_ref,    # scalar prefetch
+               arow_ref,                     # [G, KA, bs, bs] VMEM
+               bpan_hbm,                     # [NBK, bs, KB*bs] HBM
+               oblk_ref, nrm_ref,            # [G, k_out, ...] VMEM outputs
+               bwin, pacc, sem,              # scratch
+               *, ka: int, kb: int, k_out: int, nbk: int, g_rows: int,
+               w: int, precision: str):
+    """Band kernel: v3's windowed DMA reuse + offset-form accumulation.
+
+    The accumulator is a VMEM PANEL ``pacc[G, bs, k_out*bs]``; each
+    partial product (already [bs, KB*bs]) is added at its dynamic lane
+    offset in one contiguous slice-add, and the epilogue transposes the
+    panel into block-ELL with k_out static slices.  acols/gg0 ride as
+    FLAT 1-D prefetch arrays (2-D SMEM operands pad the minor dim to 128
+    lanes and blow the 1 MB SMEM budget)."""
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    bs = arow_ref.shape[-1]
+
+    def copy_for(grp, slot):
+        lo = jnp.minimum(wlo_ref[grp], nbk - w)
+        return pltpu.make_async_copy(bpan_hbm.at[pl.ds(lo, w)],
+                                     bwin.at[slot], sem.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        copy_for(g + 1, (g + 1) % 2).start()
+
+    copy_for(g, g % 2).wait()
+    pacc[...] = jnp.zeros_like(pacc)
+    win_lo = jnp.minimum(wlo_ref[g], nbk - w)
+    for i in range(g_rows):
+        r = g * g_rows + i
+        for s in range(ka):
+
+            @pl.when(acols_ref[r * ka + s] != EMPTY)
+            def _(i=i, s=s, r=r):
+                local = jnp.clip(acols_ref[r * ka + s] - win_lo, 0, w - 1)
+                a = arow_ref[i, s]
+                b = bwin[g % 2, local]
+                if precision == "high" and a.dtype == jnp.float32:
+                    a_hi = a.astype(jnp.bfloat16)
+                    a_lo = (a - a_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    b_hi = b.astype(jnp.bfloat16)
+                    b_lo = (b - b_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    part = (jnp.dot(a_hi, b_hi,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(a_lo, b_hi,
+                                      preferred_element_type=jnp.float32)
+                            + jnp.dot(a_hi, b_lo,
+                                      preferred_element_type=jnp.float32))
+                    part = part.astype(pacc.dtype)
+                else:
+                    part = jnp.dot(a, b,
+                                   preferred_element_type=pacc.dtype,
+                                   precision=_PRECISIONS[precision])
+                off = gg0_ref[r * ka + s] * bs
+                pacc[i, :, pl.ds(off, kb * bs)] += part
+
+    scaled = pacc[...] * scal_ref[0]
+    flushed = jnp.where(jnp.abs(scaled) > scal_ref[1], scaled, 0.0)
+    for t in range(k_out):
+        oblk_ref[:, t] = flushed[:, :, t * bs:(t + 1) * bs]
+    nrm_ref[...] = jnp.sum(jnp.abs(flushed), axis=1).reshape(
+        g_rows, k_out, bs)
+
+
+def _call_kernel_v4(a_cols, gg0, wlo, scal, a_blocks, b_panel,
+                    *, kb: int, nbk: int, k_out: int, g_rows: int, w: int,
+                    precision: str, out_dt, interpret: bool = False):
+    R, KA = a_cols.shape
+    bs = a_blocks.shape[-1]
+    dt = jnp.dtype(out_dt)
+    ng = R // g_rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((g_rows, KA, bs, bs), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # B stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((g_rows, k_out, bs, bs),
+                         lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_rows, k_out, bs), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w, bs, kb * bs), a_blocks.dtype),
+            pltpu.VMEM((g_rows, bs, k_out * bs), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_v4, ka=KA, kb=kb, k_out=k_out,
+                               nbk=nbk, g_rows=g_rows, w=w,
+                               precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=V3_VMEM_BUDGET),
+        out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
+                   jax.ShapeDtypeStruct((R, k_out, bs), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=R * KA * 2 * bs * bs * kb * bs,
+            bytes_accessed=(R * KA * bs * bs + ng * w * kb * bs * bs
+                            + R * k_out * bs * bs) * dt.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(a_cols.reshape(-1), gg0.reshape(-1), wlo, scal, a_blocks, b_panel)
+
+
+V3_VMEM_BUDGET = 64 * 1024 * 1024      # v5e VMEM is 128 MB; headroom
+V3_SMEM_BUDGET = 512 * 1024            # prefetch arrays (acols + plan)
+
+
+def _v3_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
+             out_item: int, r: int, nbk: int):
+    """(g_rows, window) for the v3 kernel, or (None, None) when no group
+    size satisfies the VMEM/SMEM/grid budgets for this shape."""
+    if (r * ka + r * ka * kb) * 4 > V3_SMEM_BUDGET:
+        return None, None
+    for g in (8, 16, 4, 2):
+        w = ka + g - 1
+        if nbk < w or r < g:
+            continue
+        if -(-r // g) > MAX_GRID_STEPS:
+            continue
+        vmem = (2 * w * bs * kb * bs * in_item
+                + 2 * g * ka * bs * bs * in_item
+                + 2 * g * k_out * bs * bs * out_item
+                + 2 * g * k_out * bs * out_item)
+        if vmem <= V3_VMEM_BUDGET:
+            return g, w
+    return None, None
+
+
+def _v3_window(a_cols, g_rows: int):
+    """Per-group window starts and the max window width, from col ids
+    alone: wlo[g] = min valid col id of group g, width = max over groups
+    of (max - min + 1).  Width is a traced scalar — the caller reads it
+    back once (alongside the structural-fill stats it already syncs) or
+    compares against the static budget under jit via jnp.where."""
+    R, KA = a_cols.shape
+    ng = R // g_rows
+    grp = a_cols.reshape(ng, g_rows * KA)
+    valid = grp != EMPTY
+    lo = jnp.min(jnp.where(valid, grp, EMPTY), axis=1)        # [ng]
+    hi = jnp.max(jnp.where(valid, grp, -1), axis=1)
+    width = jnp.max(jnp.where(jnp.any(valid, axis=1), hi - lo + 1, 0))
+    return jnp.where(lo == EMPTY, 0, lo).astype(jnp.int32), width
+
+
 def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
                     *, kb: int, nbk: int, k_out: int,
                     interpret: bool = False):
@@ -426,33 +759,88 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
                                   and dt == jnp.float32) else dt
 
     # B rows concatenated along columns: (NBK, bs, KB*bs) — one wide MXU
-    # dot per A slot instead of KB tiny ones.
-    b_panel = jnp.swapaxes(b_blocks.astype(compute_dt), -3, -2).reshape(
+    # dot per A slot instead of KB tiny ones.  EMPTY-slot blocks are
+    # masked in the same (already-paid) transpose pass: the band kernel's
+    # contiguous slice-add has no per-column plan guard, so garbage at an
+    # EMPTY slot would otherwise leak into the product.
+    b_masked = jnp.where((b_cols != EMPTY)[..., None, None], b_blocks, 0)
+    b_panel = jnp.swapaxes(b_masked.astype(compute_dt), -3, -2).reshape(
         NBK, bs, KB * bs)
 
     ab = a_blocks.astype(compute_dt)
     scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
                       jnp.asarray(threshold, jnp.float32)]).astype(dt)
 
-    cbs, nps = [], []
-    chunk = _row_chunk(KA, KB)
-    for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
-        cb_i, np_i = _call_kernel(
-            a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
-            b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret,
-            precision=precision, out_dt=dt)
-        cbs.append(cb_i)
-        nps.append(np_i)
-    cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)
-    npart = nps[0] if len(nps) == 1 else jnp.concatenate(nps, axis=0)
+    # Windowed row-batch path (kernel v3): when every G-row group's col
+    # ids fit a W = KA + G - 1 window (true for banded operands — the
+    # library's core regime), the whole multiply is ONE pallas call with
+    # contiguous window DMAs instead of ceil(R/chunk) calls + a full
+    # concatenate.  The width check is data-dependent, so the jit
+    # branches with lax.cond; both arms share output shapes.
+    g_rows, wv3 = _v3_pick(KA, KB, k_out, bs, compute_dt.itemsize,
+                           dt.itemsize, R, NBK)
+    occ_used = occp
+    if g_rows is not None:
+        pad = -R % g_rows
+        ac_p = jnp.pad(a_cols, ((0, pad), (0, 0)), constant_values=EMPTY)
+        plan_p = jnp.pad(plan, ((0, pad), (0, 0)),
+                         constant_values=k_out)
+        ab_p = jnp.pad(ab, ((0, pad),) + ((0, 0),) * 3)
+        wlo, width = _v3_window(ac_p, g_rows)
+        gg0, occ0, band_ok = band_plan(a_cols, b_cols, k_out)
+        gg0_p = jnp.pad(gg0, ((0, pad), (0, 0)))
+        use_band = (width <= wv3) & band_ok
+
+        def run_v4(ac_i, gg0_i, wlo_i, ab_i, bp_i):
+            return _call_kernel_v4(
+                ac_i, gg0_i, wlo_i, scal, ab_i, bp_i, kb=KB, nbk=NBK,
+                k_out=k_out, g_rows=g_rows, w=wv3, precision=precision,
+                out_dt=dt, interpret=interpret)
+
+        def run_v1(ac_i, gg0_i, wlo_i, ab_i, bp_i):
+            chunk_i = _row_chunk(KA, KB)
+            cbs_i, nps_i = [], []
+            for lo in range(0, R + pad, chunk_i):
+                hi = min(lo + chunk_i, R + pad)
+                cb_j, np_j = _call_kernel(
+                    ac_i[lo:hi], plan_p[lo:hi], scal, ab_i[lo:hi], bp_i,
+                    kb=KB, nbk=NBK, k_out=k_out, interpret=interpret,
+                    precision=precision, out_dt=dt)
+                cbs_i.append(cb_j)
+                nps_i.append(np_j)
+            return (jnp.concatenate(cbs_i, axis=0) if len(cbs_i) > 1
+                    else cbs_i[0],
+                    jnp.concatenate(nps_i, axis=0) if len(nps_i) > 1
+                    else nps_i[0])
+
+        cb, npart = jax.lax.cond(use_band, run_v4, run_v1,
+                                 ac_p, gg0_p, wlo, ab_p, b_panel)
+        if pad:
+            cb = cb[:R]
+            npart = npart[:R]
+        # band-mode output slots are offsets from occ0, not ranks
+        occ_band = occ0[:, None] + jnp.arange(k_out, dtype=jnp.int32)
+        occ_used = jnp.where(use_band, occ_band, occp)
+    else:
+        cbs, nps = [], []
+        chunk = _row_chunk(KA, KB)
+        for lo in range(0, R, chunk):
+            hi = min(lo + chunk, R)
+            cb_i, np_i = _call_kernel(
+                a_cols[lo:hi], plan[lo:hi], scal, ab[lo:hi],
+                b_panel, kb=KB, nbk=NBK, k_out=k_out, interpret=interpret,
+                precision=precision, out_dt=dt)
+            cbs.append(cb_i)
+            nps.append(np_i)
+        cb = cbs[0] if len(cbs) == 1 else jnp.concatenate(cbs, axis=0)
+        npart = nps[0] if len(nps) == 1 else jnp.concatenate(nps, axis=0)
 
     # Metadata-only epilogue: mark slots whose whole block flushed to zero
     # EMPTY in place.  The kernel already emitted sublane-reduced norm
     # partials, so this reads k_out*bs floats per row — never the block
     # tensor.
     nm = jnp.sum(npart, axis=-1)
-    cc = jnp.where(nm > 0, occp, EMPTY)
+    cc = jnp.where(nm > 0, occ_used, EMPTY)
     return cc, cb, ucnt
 
 

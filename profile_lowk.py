@@ -49,16 +49,20 @@ def slope_time(make_run):
 
 
 def scanner(body, *args):
+    """Unlike profile_v4's closure version, the operands are passed as
+    jit ARGUMENTS: at this dim a closed-over operand becomes an HLO
+    constant and the 0.6 GB program body overflows the tunnel's
+    remote-compile request limit (HTTP 413)."""
     def make_run(n):
         @jax.jit
-        def run():
+        def run(*ops):
             def step(carry, aa):
-                out = body(args[0] * aa, *args[1:])
+                out = body(ops[0] * aa, *ops[1:])
                 return carry + consume(out), None
             tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                   jnp.linspace(1., 2., n, jnp.float32))
             return tot
-        return run
+        return lambda: run(*args)
     return make_run
 
 
@@ -108,50 +112,116 @@ def main():
     results["row_chunk"] = chunk
     results["n_kernel_calls"] = -(-nb // chunk)
 
-    def v1(ab_s):
+    def v1(ab_s, bp):
         cbs = []
         for lo in range(0, nb, chunk):
             hi = min(lo + chunk, nb)
             cb_i, np_i = spgemm_pallas._call_kernel(
-                ac[lo:hi], pln[lo:hi], scal, ab_s[lo:hi], b_panel,
+                ac[lo:hi], pln[lo:hi], scal, ab_s[lo:hi], bp,
                 kb=kb, nbk=nb, k_out=k_out, interpret=False,
                 out_dt=jnp.dtype(jnp.float32))
             cbs.append((cb_i, np_i))
         return cbs
-    rec("kernel_v1_chunked", slope_time(scanner(v1, ab)))
+    rec("kernel_v1_chunked", slope_time(scanner(v1, ab, b_panel)))
 
     # 4. kernel v1, ONE call over all rows (grid steps = nb*ka; exceeds
     # the measured SMEM budget — expected to fail to compile; recorded)
     try:
-        def v1_one(ab_s):
+        def v1_one(ab_s, bp):
             return spgemm_pallas._call_kernel(
-                ac, pln, scal, ab_s, b_panel, kb=kb, nbk=nb, k_out=k_out,
+                ac, pln, scal, ab_s, bp, kb=kb, nbk=nb, k_out=k_out,
                 interpret=False, out_dt=jnp.dtype(jnp.float32))
-        rec("kernel_v1_single_call", slope_time(scanner(v1_one, ab)))
+        rec("kernel_v1_single_call",
+            slope_time(scanner(v1_one, ab, b_panel)))
     except Exception as e:
         results["kernel_v1_single_call"] = f"failed: {type(e).__name__}"
         print("kernel_v1_single_call failed:", type(e).__name__, flush=True)
 
     # 5. kernel v2 (manual double-buffered DMA), one call over all rows
     try:
-        def v2_one(ab_s):
+        def v2_one(ab_s, bp):
             return spgemm_pallas._call_kernel_v2(
-                ac, pln, scal, ab_s, b_panel, kb=kb, nbk=nb, k_out=k_out)
-        rec("kernel_v2_single_call", slope_time(scanner(v2_one, ab)))
+                ac, pln, scal, ab_s, bp, kb=kb, nbk=nb, k_out=k_out)
+        rec("kernel_v2_single_call",
+            slope_time(scanner(v2_one, ab, b_panel)))
     except Exception as e:
         results["kernel_v2_single_call"] = f"failed: {type(e).__name__}"
         print("kernel_v2_single_call failed:", type(e).__name__, flush=True)
 
     # 6. kernel v2 with the v1 chunking (overhead comparison)
-    def v2_chunked(ab_s):
+    def v2_chunked(ab_s, bp):
         cbs = []
         for lo in range(0, nb, chunk):
             hi = min(lo + chunk, nb)
             cbs.append(spgemm_pallas._call_kernel_v2(
-                ac[lo:hi], pln[lo:hi], scal, ab_s[lo:hi], b_panel,
+                ac[lo:hi], pln[lo:hi], scal, ab_s[lo:hi], bp,
                 kb=kb, nbk=nb, k_out=k_out))
         return cbs
-    rec("kernel_v2_chunked", slope_time(scanner(v2_chunked, ab)))
+    rec("kernel_v2_chunked", slope_time(scanner(v2_chunked, ab, b_panel)))
+
+    # 6b. kernel v3 (windowed row batch, one call) — the r4 redesign
+    g3, w3 = spgemm_pallas._v3_pick(ka, kb, k_out, bs, 4, 4, nb, nb)
+    results["v3_group"] = g3
+    if g3 is not None:
+        pad3 = -nb % g3
+        ac3 = jnp.pad(ac, ((0, pad3), (0, 0)), constant_values=EMPTY)
+        pln3 = jnp.pad(pln, ((0, pad3), (0, 0)), constant_values=k_out)
+        wlo3, width3 = spgemm_pallas._v3_window(ac3, g3)
+        print(f"v3: g={g3} w={w3} width={int(width3)}", flush=True)
+
+        def v3_one(ab_s, bp):
+            ab_p = jnp.pad(ab_s, ((0, pad3),) + ((0, 0),) * 3)
+            return spgemm_pallas._call_kernel_v3(
+                ac3, pln3, wlo3, scal, ab_p, bp, kb=kb, nbk=nb,
+                k_out=k_out, g_rows=g3, w=w3, precision="highest",
+                out_dt=jnp.dtype(jnp.float32))
+        rec("kernel_v3_windowed", slope_time(scanner(v3_one, ab, b_panel)))
+
+        def v3_high(ab_s, bp):
+            ab_p = jnp.pad(ab_s, ((0, pad3),) + ((0, 0),) * 3)
+            return spgemm_pallas._call_kernel_v3(
+                ac3, pln3, wlo3, scal, ab_p, bp, kb=kb, nbk=nb,
+                k_out=k_out, g_rows=g3, w=w3, precision="high",
+                out_dt=jnp.dtype(jnp.float32))
+        rec("kernel_v3_high", slope_time(scanner(v3_high, ab, b_panel)))
+
+        def v3_bf16(ab_s, bp):
+            ab_p = jnp.pad(ab_s, ((0, pad3),) + ((0, 0),) * 3).astype(
+                jnp.bfloat16)
+            return spgemm_pallas._call_kernel_v3(
+                ac3, pln3, wlo3, scal, ab_p, bp.astype(jnp.bfloat16),
+                kb=kb, nbk=nb, k_out=k_out, g_rows=g3, w=w3,
+                precision="bf16", out_dt=jnp.dtype(jnp.float32))
+        rec("kernel_v3_bf16", slope_time(scanner(v3_bf16, ab, b_panel)))
+
+    # 6c. kernel v4 (band offsets: panel accumulator, slice-adds)
+    if g3 is not None:
+        gg0, occ0, band_ok = spgemm_pallas.band_plan(ac, ac, k_out)
+        print(f"v4 band_ok={bool(band_ok)}", flush=True)
+        gg0_p = jnp.pad(gg0, ((0, pad3), (0, 0)))
+
+        for prec in ("highest", "high", "bf16"):
+            def v4_one(ab_s, bp, _p=prec):
+                ab_p = jnp.pad(ab_s, ((0, pad3),) + ((0, 0),) * 3)
+                if _p == "bf16":
+                    ab_p = ab_p.astype(jnp.bfloat16)
+                    bp = bp.astype(jnp.bfloat16)
+                return spgemm_pallas._call_kernel_v4(
+                    ac3, gg0_p, wlo3, scal, ab_p, bp, kb=kb, nbk=nb,
+                    k_out=k_out, g_rows=g3, w=w3, precision=_p,
+                    out_dt=jnp.dtype(jnp.float32))
+            rec(f"kernel_v4_{prec}",
+                slope_time(scanner(v4_one, ab, b_panel)))
+
+        # end-to-end again (the auto path now picks v4 via the cond)
+        rec("matmul_end_to_end_v4", slope_time(scanner(mm, ab)))
+
+        def mm_high(blocks):
+            hh = h.with_data(h.col_ids, blocks[None])
+            out = alg.matmul(hh, hh, threshold=thr, k_out=k_out,
+                             on_overflow="truncate", precision="high")
+            return out.blocks
+        rec("matmul_end_to_end_v4_high", slope_time(scanner(mm_high, ab)))
 
     # 7. roofline anchors: same-FLOPs dense matmul and a pure stream
     flops = nb * ka * 2 * bs * bs * kb * bs
@@ -160,7 +230,7 @@ def main():
         (mm_n, mm_n)), jnp.float32)
 
     def dense(a):
-        return a @ da
+        return a @ a
     dt_dense = slope_time(scanner(dense, da))
     results["dense_same_flops_ms"] = dt_dense * 1e3
     print(f"dense same-FLOPs ({mm_n}^3): {dt_dense*1e3:.3f} ms", flush=True)

@@ -283,8 +283,12 @@ def bench_trs4(grid, on_cpu):
     import tempfile
     from ntpoly_tpu.parallel import algebra as alg
     from ntpoly_tpu.utils.logging import activate_logger, deactivate_logger
+    # k_out=8 pins just above the measured purification fill (~5-6 at
+    # this threshold): r3's 8*h.k=24 tripled the A-stream and busted the
+    # band kernel's SMEM gate; on_overflow='grow' redoes a chunk in the
+    # rare case fill spikes past the pin
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
-                              k_out=min(h.panel_nb, 8 * h.k),
+                              k_out=min(h.panel_nb, 8),
                               iters_per_sync=8, be_verbose=True)
     method = alg._pick_method(h, h, params.k_out)
     _sync(density.trs4(h, isq, float(nel), params)[0])   # warm compiles
@@ -347,6 +351,7 @@ def bench_trs4_100k(grid, on_cpu):
     isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
     nel = dim // 2
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
+                              k_out=min(h.panel_nb, 8),
                               iters_per_sync=8, be_verbose=True)
     # warm: one chunk compiles the whole iteration graph at these shapes
     warm = params.copy()

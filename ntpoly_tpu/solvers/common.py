@@ -215,6 +215,7 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
     capacity and recompile, the reference's never-drop pool growth,
     GemmMatrix.f90:48-56), 'warn', 'raise', or 'ignore'.
     """
+    import functools
     import warnings
 
     import jax
@@ -232,8 +233,16 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
     cap = next((m.panel_nb for m in cap if isinstance(m, _PM.PSMatrix)),
                k_pin)
 
-    def make_chunk_fn(k_now):
-        @jax.jit
+    def make_chunk_fn(k_now, donate=False):
+        # Donate the carry (the iterate X and friends): XLA reuses its
+        # buffers for the chunk's outputs — at the 2^20-row bench shape
+        # that is ~2.5 GB of HBM handed back per matrix.  Donation is
+        # only legal when this chunk can never be REDONE with the same
+        # carry (no capacity regrow possible) AND the carry holds no
+        # aliased leaves (e.g. CG starts with p = r, the same buffer —
+        # donating it twice is a runtime error).
+
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
         def chunk_fn(carry, *cs):
             def body(c, _):
                 uc, ovf = c
@@ -259,12 +268,30 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
             tree, is_leaf=lambda x: isinstance(x, _PM.PSMatrix))
 
     mode = getattr(params, "on_overflow", "grow")
-    chunk_fn = make_chunk_fn(k_pin)
+
+    def _unique_leaves(tree):
+        seen = set()
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if id(leaf) in seen:
+                return False
+            seen.add(id(leaf))
+        return True
+
+    chunk_fns = {}
+
+    def get_chunk_fn(carry):
+        donate = ((mode != "grow" or k_pin >= cap)
+                  and _unique_leaves(carry))
+        key = (k_pin, donate)
+        if key not in chunk_fns:
+            chunk_fns[key] = make_chunk_fn(k_pin, donate)
+        return chunk_fns[key]
+
     history = []
     prev = None
     total = 0
     while total < params.max_iterations:
-        new_carry, ovf, scal = chunk_fn(carry0, *consts)
+        new_carry, ovf, scal = get_chunk_fn(carry0)(carry0, *consts)
         scal = [np.asarray(s) for s in scal]      # ONE sync per chunk
         need = int(ovf)                           # same sync (ovf is ready)
         if need > k_pin and mode != "ignore":
@@ -274,10 +301,11 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
                 raise NTPolyError(msg)
             if mode == "grow" and k_pin < cap:
                 # recompile at the needed capacity and REDO this chunk
+                # (only the carry is padded — every bell op handles
+                # mixed slot counts, so padding the constant operands
+                # would just multiply their footprint)
                 k_pin = min(alg._k_bucket(need, cap), cap)
                 carry0 = repad(carry0, k_pin)
-                consts = repad(consts, k_pin)
-                chunk_fn = make_chunk_fn(k_pin)
                 if params.be_verbose:
                     from ..utils.logging import logger
                     logger.write_comment(

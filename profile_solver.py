@@ -55,7 +55,7 @@ def profile_shape(dim, bs, results):
     e_min, e_max = float(e_min), float(e_max)
     x0 = alg.increment(h, imat, alpha=-1.0 / (e_max - e_min),
                        beta=e_max / (e_max - e_min))
-    k_pin = min(h.panel_nb, 8 * h.k)
+    k_pin = min(h.panel_nb, 8)    # the bench's pin
     x0 = pad_capacity(x0, k_pin)
     whp = pad_capacity(h, k_pin)
     imatp = pad_capacity(imat, k_pin)
@@ -66,14 +66,14 @@ def profile_shape(dim, bs, results):
                          nnz=int(h.nnz))
     print(f"--- dim={dim} bs={bs} k={h.k} k_pin={k_pin}", flush=True)
 
-    def trs4_step(xc):
+    def trs4_step(xc, whc, imatc):
         """One full TRS4 iteration (the _trs4_chunked step body under the
         pinned-capacity policy the solver installs)."""
         with alg.capacity_policy(k_out=k_pin, on_overflow="truncate"):
             x2 = alg.matmul(xc, xc, threshold=thr)
             fx = alg.increment(x2, xc, -3.0, 4.0, threshold=thr)
             gx = alg.increment(
-                alg.increment(imatp, xc, 1.0, -2.0, threshold=thr),
+                alg.increment(imatc, xc, 1.0, -2.0, threshold=thr),
                 x2, 1.0, 1.0, threshold=thr)
             trace_fx = jnp.real(alg.dot(x2, fx))
             trace_gx = jnp.real(alg.dot(x2, gx))
@@ -84,20 +84,22 @@ def profile_shape(dim, bs, results):
             x_hi = alg.increment(xc, x2, 2.0, -1.0, threshold=thr)
             x_new = select_matrix(
                 sigma > 6.0, x_hi, select_matrix(sigma < 0.0, x2, x_mid))
-            energy = jnp.real(alg.dot(x_new, whp))
+            energy = jnp.real(alg.dot(x_new, whc))
         return x_new, energy
 
     def make_iter_run(n):
+        # operands ride as jit ARGUMENTS — closed-over operands become
+        # HLO constants and overflow the tunnel's compile request limit
         @jax.jit
-        def run():
+        def run(x0_in, whp_in, imatp_in):
             def step(carry, aa):
-                x_in = x0.with_data(x0.col_ids, x0.blocks * aa)
-                x_new, energy = trs4_step(x_in)
+                x_in = x0_in.with_data(x0_in.col_ids, x0_in.blocks * aa)
+                x_new, energy = trs4_step(x_in, whp_in, imatp_in)
                 return carry + consume((x_new.blocks, energy)), None
             tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                   jnp.linspace(1., 2., n, jnp.float32))
             return tot
-        return run
+        return lambda: run(x0, whp, imatp)
 
     dt_iter = slope_time(make_iter_run)
     rec["trs4_iteration_ms"] = dt_iter * 1e3
@@ -107,27 +109,28 @@ def profile_shape(dim, bs, results):
     def part(name, body):
         def make_run(n):
             @jax.jit
-            def run():
+            def run(x0_in, whp_in):
                 def step(carry, aa):
-                    x_in = x0.with_data(x0.col_ids, x0.blocks * aa)
+                    x_in = x0_in.with_data(x0_in.col_ids,
+                                           x0_in.blocks * aa)
                     with alg.capacity_policy(k_out=k_pin,
                                              on_overflow="truncate"):
-                        out = body(x_in)
+                        out = body(x_in, whp_in)
                     return carry + consume(out), None
                 tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                       jnp.linspace(1., 2., n, jnp.float32))
                 return tot
-            return run
+            return lambda: run(x0, whp)
         dt = slope_time(make_run)
         rec[name] = dt * 1e3
         print(f"{name}: {dt*1e3:.2f} ms", flush=True)
         return dt
 
-    dt_mm = part("matmul_ms", lambda x: alg.matmul(
+    dt_mm = part("matmul_ms", lambda x, w: alg.matmul(
         x, x, threshold=thr).blocks)
-    dt_inc = part("increment_ms", lambda x: alg.increment(
-        x, whp, -3.0, 4.0, threshold=thr).blocks)
-    dt_dot = part("dot_ms", lambda x: alg.dot(x, whp))
+    dt_inc = part("increment_ms", lambda x, w: alg.increment(
+        x, w, -3.0, 4.0, threshold=thr).blocks)
+    dt_dot = part("dot_ms", lambda x, w: alg.dot(x, w))
     parts_sum = 2 * dt_mm + 4 * dt_inc + 3 * dt_dot
     rec["sum_of_parts_ms"] = parts_sum * 1e3
     rec["iteration_vs_parts"] = dt_iter / parts_sum

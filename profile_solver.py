@@ -21,7 +21,6 @@ from ntpoly_tpu.parallel import pmatrix as PM
 from ntpoly_tpu.parallel.grid import ProcessGrid
 from ntpoly_tpu.solvers.common import pad_capacity, select_matrix
 
-REPS = 8
 
 
 def consume(out):
@@ -31,9 +30,9 @@ def consume(out):
     return tot
 
 
-def slope_time(make_run):
+def slope_time(make_run, reps):
     t = {}
-    for n in (REPS, 3 * REPS):
+    for n in (reps, 3 * reps):
         fn = make_run(n)
         fn()  # compile
         times = []
@@ -42,10 +41,10 @@ def slope_time(make_run):
             jax.block_until_ready(fn())
             times.append(time.perf_counter() - t0)
         t[n] = min(times)
-    return (t[3 * REPS] - t[REPS]) / (2 * REPS)
+    return (t[3 * reps] - t[reps]) / (2 * reps)
 
 
-def profile_shape(dim, bs, results):
+def profile_shape(dim, bs, results, reps):
     grid = ProcessGrid(1, 1, 1, devices=jax.devices()[:1])
     thr = 1e-7
     h = PM.banded(dim, 16, _gapped_fn(), bs=bs, grid=grid,
@@ -101,7 +100,7 @@ def profile_shape(dim, bs, results):
             return tot
         return lambda: run(x0, whp, imatp)
 
-    dt_iter = slope_time(make_iter_run)
+    dt_iter = slope_time(make_iter_run, reps)
     rec["trs4_iteration_ms"] = dt_iter * 1e3
     print(f"trs4 full iteration: {dt_iter*1e3:.2f} ms", flush=True)
 
@@ -121,7 +120,7 @@ def profile_shape(dim, bs, results):
                                       jnp.linspace(1., 2., n, jnp.float32))
                 return tot
             return lambda: run(x0, whp)
-        dt = slope_time(make_run)
+        dt = slope_time(make_run, 4 * reps)
         rec[name] = dt * 1e3
         print(f"{name}: {dt*1e3:.2f} ms", flush=True)
         return dt
@@ -140,8 +139,8 @@ def profile_shape(dim, bs, results):
 
 def main():
     results = {}
-    profile_shape(10240, 128, results)
-    profile_shape(102400, 128, results)
+    profile_shape(10240, 128, results, reps=40)
+    profile_shape(102400, 128, results, reps=8)
     with open("PROFILE_r04_solver.json", "w") as f:
         json.dump(results, f, indent=1)
     print("wrote PROFILE_r04_solver.json", flush=True)

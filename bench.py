@@ -433,8 +433,13 @@ def bench_trs4_1m(grid, on_cpu):
                   dtype=np.float32)
     isq = PM.identity(dim, bs=bs, dtype=np.float32, grid=grid)
     nel = dim // 2
+    # k_out: at bs=128 the purification band spread (~100 elements at
+    # this threshold) stays within +-1 block, so 6 slots cover it; the
+    # CPU smoke variant at bs=32 needs more.  'warn' (not 'grow') keeps
+    # carry donation legal — the warning is the honesty signal.
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
-                              iters_per_sync=4, k_out=6,
+                              iters_per_sync=4,
+                              k_out=10 if on_cpu else 6,
                               on_overflow="warn", be_verbose=True)
     warm = params.copy()
     warm.be_verbose = False

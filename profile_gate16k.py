@@ -37,17 +37,19 @@ def slope_time(make_run):
 
 def time_matmul(h, k_out, method, thr=1e-6):
     def make_run(n):
+        # h rides as a jit ARGUMENT: closed-over operands become HLO
+        # constants and overflow the tunnel's compile request (413)
         @jax.jit
-        def run():
+        def run(hh):
             def step(carry, aa):
-                hs = h.with_data(h.col_ids, h.blocks * aa)
-                c = alg.matmul(hs, h, threshold=thr, k_out=k_out,
+                hs = hh.with_data(hh.col_ids, hh.blocks * aa)
+                c = alg.matmul(hs, hh, threshold=thr, k_out=k_out,
                                on_overflow="truncate", method=method)
                 return carry + c.blocks[0, 0, 0, 0, 0], None
             tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                   jnp.linspace(1., 2., n, jnp.float32))
             return tot
-        return run
+        return lambda: run(h)
     return slope_time(make_run)
 
 

@@ -403,7 +403,7 @@ def _call_kernel_v3(a_cols, plan, wlo, scal, a_blocks, b_panel,
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=V3_VMEM_BUDGET),
+            vmem_limit_bytes=V3_VMEM_COMPILER_CAP),
         out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
                    jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(
@@ -565,7 +565,7 @@ def _call_kernel_v4(a_cols, gg0, wlo, scal, a_blocks, b_panel,
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=V3_VMEM_BUDGET),
+            vmem_limit_bytes=V3_VMEM_COMPILER_CAP),
         out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
                    jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(
@@ -577,7 +577,11 @@ def _call_kernel_v4(a_cols, gg0, wlo, scal, a_blocks, b_panel,
     )(a_cols.reshape(-1), gg0.reshape(-1), wlo, scal, a_blocks, b_panel)
 
 
-V3_VMEM_BUDGET = 64 * 1024 * 1024      # v5e VMEM is 128 MB; headroom
+V3_VMEM_BUDGET = 64 * 1024 * 1024      # picker budget (estimate)
+# Mosaic's scoped-VMEM cap for the band kernels: the picker's estimate
+# misses alignment/semaphore slop, so the compiler cap carries ~1.5x
+# headroom over the budget (v5e VMEM is 128 MB physical)
+V3_VMEM_COMPILER_CAP = 96 * 1024 * 1024
 V3_SMEM_BUDGET = 512 * 1024            # prefetch arrays (acols + plan)
 
 
@@ -593,10 +597,11 @@ def _v3_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
             continue
         if -(-r // g) > MAX_GRID_STEPS:
             continue
-        vmem = (2 * w * bs * kb * bs * in_item
-                + 2 * g * ka * bs * bs * in_item
-                + 2 * g * k_out * bs * bs * out_item
-                + 2 * g * k_out * bs * out_item)
+        vmem = (2 * w * bs * kb * bs * in_item          # B window x2
+                + 2 * g * ka * bs * bs * in_item        # pipelined A x2
+                + 2 * g * k_out * bs * bs * out_item    # pipelined out x2
+                + 2 * g * k_out * bs * out_item         # norms
+                + g * bs * k_out * bs * out_item)       # v4 panel acc
         if vmem <= V3_VMEM_BUDGET:
             return g, w
     return None, None
@@ -648,6 +653,8 @@ def _call_kernel_v2(a_cols, plan, scal, a_blocks, b_panel,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
                    jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(
@@ -698,6 +705,10 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # Mosaic's own pipelining slop pushes big-k_out shapes past the
+        # 16 MB default scoped cap; eligible() bounds the real footprint
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         out_shape=[jax.ShapeDtypeStruct((R, k_out, bs, bs), dt),
                    jax.ShapeDtypeStruct((R, k_out, bs), dt)],
         cost_estimate=pl.CostEstimate(

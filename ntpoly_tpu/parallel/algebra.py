@@ -199,11 +199,19 @@ def _pick_method(a: PSMatrix, b: PSMatrix, k_out: int) -> str:
         differently than Gustavson on a CPU.
     """
     dt = jnp.result_type(a.dtype, b.dtype)
-    if (min(a.k, b.k) >= 0.9 * a.nb and a.nb * a.bs <= 4096):
-        return "dense"
-    if (not _on_cpu(a.grid) and spgemm_pallas.eligible(
-            dt, a.bs, k_out, a.grid.cols * a.k, b.k)):
+    pallas_ok = (not _on_cpu(a.grid) and spgemm_pallas.eligible(
+        dt, a.bs, k_out, a.grid.cols * a.k, b.k))
+    # r4's sweep (PROFILE_r04_gate16k.json, dim {4096, 8192, 16384} x
+    # occupancy {0.5, 0.75, 1.0}): with the r4 band kernels, pallas wins
+    # or ties dense at EVERY eligible shape — including 100% occupancy
+    # at dim 4096 (5.1 vs 5.4 ms), where r3's kernel lost.  The dense
+    # tier (flat N^3: 5.4 / 41 / 313 ms) remains the right call only
+    # for near-full occupancy at shapes the kernel's SMEM/VMEM gates
+    # exclude (where the XLA sparse fallbacks are 3-8x slower).
+    if pallas_ok:
         return "pallas"
+    if min(a.k, b.k) >= 0.9 * a.nb:
+        return "dense"
     n_cand = a.grid.cols * a.k * b.k
     return "cand" if n_cand <= max(64, 8 * k_out) else "acc"
 

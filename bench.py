@@ -439,7 +439,7 @@ def bench_trs4_1m(grid, on_cpu):
     # carry donation legal — the warning is the honesty signal.
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
                               iters_per_sync=4,
-                              k_out=10 if on_cpu else 6,
+                              k_out=10 if on_cpu else 5,
                               on_overflow="warn", be_verbose=True)
     warm = params.copy()
     warm.be_verbose = False

@@ -132,7 +132,16 @@ def orthogonalize(h, isq, params):
     Hamiltonians with *real* overlaps (UnitTests/test_chemistry.py:32); the
     conjugate transpose is the Hermitian-correct generalization and is
     identical for real ISQ.
+
+    Identity ISQ short-circuits BEFORE the transpose (similarity_transform
+    has its own short-circuit, but the transpose it would feed still
+    costs a full rebuild — a 0.5 GB flatten at 2^20 rows for a matrix
+    equal to its own transpose).
     """
+    if isq.k <= 1 and alg.is_identity(isq):
+        wh = alg.filter_small(h, params.threshold) \
+            if params.threshold > 0 else h
+        return wh, isq
     isqt = alg.transpose(isq).conjugate()
     wh = alg.similarity_transform(h, isq, isqt, threshold=params.threshold)
     return wh, isqt

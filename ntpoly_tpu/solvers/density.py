@@ -277,7 +277,7 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
     host sync per chunk.  The sigma clamp branches become whole-matrix
     selects on the traced sigma scalar."""
     import jax.numpy as jnp
-    from .common import run_chunked, select_matrix
+    from .common import run_chunked
 
     thr = params.threshold
     k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
@@ -303,10 +303,19 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
                           threshold=thr),
             imatc, 1.0, sigma, threshold=thr)
         x_mid = alg.matmul(x2, poly, threshold=thr)
-        x_hi = alg.increment(xc, x2, 2.0, -1.0, threshold=thr)
-        x_new = select_matrix(
-            sigma > sigma_max, x_hi,
-            select_matrix(sigma < sigma_min, x2, x_mid))
+        # The sigma clamps as scalar-selected coefficients instead of
+        # whole-matrix selects: x_new = a*X + b*X^2 + c*(X^2 poly) with
+        # (a,b,c) = (2,-1,0) above sigma_max, (0,1,0) below sigma_min,
+        # (0,0,1) in range — x_hi is never materialized (one less
+        # 2.5 GB live matrix at the 2^20-row shape).
+        hi = sigma > sigma_max
+        lo = sigma < sigma_min
+        ca = jnp.where(hi, 2.0, 0.0)
+        cb = jnp.where(hi, -1.0, jnp.where(lo, 1.0, 0.0))
+        cc = jnp.where(hi | lo, 0.0, 1.0)
+        x_new = alg.increment(
+            alg.increment(xc, x2, ca, cb, threshold=thr),
+            x_mid, 1.0, cc, threshold=thr)
         energy = jnp.real(alg.dot(x_new, whc))
         return x_new, (energy, sigma)
 

@@ -440,6 +440,8 @@ def bench_trs4_1m(grid, on_cpu):
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
                               iters_per_sync=4,
                               k_out=10 if on_cpu else 5,
+                              matmul_method=None if on_cpu
+                              else "pallas_band",
                               on_overflow="warn", be_verbose=True)
     warm = params.copy()
     warm.be_verbose = False

@@ -722,17 +722,28 @@ def _call_kernel(a_cols, plan, scal, a_blocks, b_panel,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_out", "interpret", "precision"))
+    static_argnames=("k_out", "interpret", "precision", "band_mode"))
 def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
                   b_blocks: Array, *, k_out: int,
                   threshold=0.0, alpha=1.0,
-                  interpret: bool = False, precision: str = "highest"
-                  ) -> Tuple[Array, Array, Array]:
+                  interpret: bool = False, precision: str = "highest",
+                  band_mode: str = "auto") -> Tuple[Array, Array, Array]:
     """C = alpha * A @ B, threshold-filtered, on one shard (Pallas TPU).
 
     Returns (col_ids [R, k_out], blocks [R, k_out, bs, bs],
     ucnt [R] — exact structural fill-in per row, so ``ucnt > k_out``
     flags capacity overflow).
+
+    band_mode: 'auto' (default) dispatches between the band kernel and
+    the chunked fallback with a runtime lax.cond — both arms compile,
+    and XLA reserves HBM for the fallback's chunk outputs + concatenate
+    even when the band arm always runs (measured ~5 GB of the 2^20-row
+    TRS4's 21 GB chunk program).  'force' compiles ONLY the band arm
+    for workloads the caller knows stay banded (e.g. threshold-filtered
+    purification of a banded Hamiltonian); if the runtime predicates
+    are violated the returned ucnt is poisoned to 2^30, so the caller's
+    overflow machinery reports it instead of silently clipping.
+    'off' never uses the band kernels.
 
     Output format note: non-EMPTY col ids are ascending and unique, but a
     slot whose whole block fell below the threshold is marked EMPTY *in
@@ -790,8 +801,29 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     # branches with lax.cond; both arms share output shapes.
     g_rows, wv3 = _v3_pick(KA, KB, k_out, bs, compute_dt.itemsize,
                            dt.itemsize, R, NBK)
+    if band_mode == "off":
+        g_rows = None
     occ_used = occp
-    if g_rows is not None:
+    if g_rows is not None and band_mode == "force":
+        pad = -R % g_rows
+        ac_p = jnp.pad(a_cols, ((0, pad), (0, 0)), constant_values=EMPTY)
+        ab_p = jnp.pad(ab, ((0, pad),) + ((0, 0),) * 3)
+        wlo, width = _v3_window(ac_p, g_rows)
+        gg0, occ0, band_ok = band_plan(a_cols, b_cols, k_out)
+        gg0_p = jnp.pad(gg0, ((0, pad), (0, 0)))
+        use_band = (width <= wv3) & band_ok
+        cb, npart = _call_kernel_v4(
+            ac_p, gg0_p, wlo, scal, ab_p, b_panel, kb=KB, nbk=NBK,
+            k_out=k_out, g_rows=g_rows, w=wv3, precision=precision,
+            out_dt=dt, interpret=interpret)
+        if pad:
+            cb = cb[:R]
+            npart = npart[:R]
+        occ_used = occ0[:, None] + jnp.arange(k_out, dtype=jnp.int32)
+        # poisoned fill count surfaces a violated band assumption
+        # through the caller's overflow machinery
+        ucnt = jnp.where(use_band, ucnt, jnp.int32(EMPTY))
+    elif g_rows is not None:
         pad = -R % g_rows
         ac_p = jnp.pad(a_cols, ((0, pad), (0, 0)), constant_values=EMPTY)
         plan_p = jnp.pad(plan, ((0, pad), (0, 0)),

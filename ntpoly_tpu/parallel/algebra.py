@@ -59,7 +59,8 @@ def _policy_get(attr):
 @contextlib.contextmanager
 def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
                     on_overflow: str | None = None, collect=None,
-                    precision: str | None = None):
+                    precision: str | None = None,
+                    method: str | None = None):
     """Ambient capacity defaults for matmul/increment/transpose.
 
     Solvers install this from SolverParameters.k_out / row_chunk: pinning
@@ -75,15 +76,15 @@ def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
     drops entries, GemmMatrix.f90:48-56)."""
     prev = (_policy_get("k_out"), _policy_get("row_chunk"),
             _policy_get("on_overflow"), _policy_get("collect"),
-            _policy_get("precision"))
+            _policy_get("precision"), _policy_get("method"))
     (_policy.k_out, _policy.row_chunk, _policy.on_overflow,
-     _policy.collect, _policy.precision) = (
-        k_out, row_chunk, on_overflow, collect, precision)
+     _policy.collect, _policy.precision, _policy.method) = (
+        k_out, row_chunk, on_overflow, collect, precision, method)
     try:
         yield
     finally:
         (_policy.k_out, _policy.row_chunk, _policy.on_overflow,
-         _policy.collect, _policy.precision) = prev
+         _policy.collect, _policy.precision, _policy.method) = prev
 
 __all__ = [
     "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
@@ -134,11 +135,17 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
             agc = jnp.where(keep, agc, EMPTY)
             agb = agb * keep[..., None, None].astype(agb.dtype)
         c0 = lax.axis_index("cols") * pnb
-        if method == "pallas":
-            cc, cb, _ = spgemm_pallas.spgemm_pallas(
+        if method in ("pallas", "pallas_band"):
+            cc, cb, bucnt = spgemm_pallas.spgemm_pallas(
                 agc, agb, bgc, bgb, k_out=k_out,
                 threshold=working_thresh, alpha=alpha, interpret=interpret,
-                precision=precision)
+                precision=precision,
+                band_mode="force" if method == "pallas_band" else "auto")
+            if method == "pallas_band":
+                # the kernel's fill count is poisoned to 2^30 when the
+                # band assumption is violated — surface it through the
+                # same stats word the overflow machinery reads
+                fill = jnp.maximum(fill, jnp.max(bucnt))
         elif method == "dense":
             cc, cb = bell.spgemm_dense(
                 agc, agb, bgc, bgb, col_offset=c0, nbc_out=pnb, k_out=k_out,
@@ -280,8 +287,9 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
     collector = _policy_get("collect")
     while True:
         if requested == "auto":
-            method = _pick_method(a, b, k_out)
-        interpret = method == "pallas" and _on_cpu(a.grid)
+            method = _policy_get("method") or _pick_method(a, b, k_out)
+        interpret = (method in ("pallas", "pallas_band")
+                     and _on_cpu(a.grid))
         cc, cb, stats = _summa(
             a.col_ids, a.blocks.astype(dt), b.col_ids, b.blocks.astype(dt),
             jnp.asarray(alpha, dt), wt, threshold,

@@ -52,12 +52,14 @@ class solver_log:
         # (reference GemmMatrix.f90:48-56); the chunked driver installs
         # its own truncate-with-detection policy inside the scan.
         if (self.params.k_out or self.params.row_chunk
-                or self.params.precision != "highest"):
+                or self.params.precision != "highest"
+                or self.params.matmul_method):
             self._policy = alg.capacity_policy(
                 k_out=self.params.k_out, row_chunk=self.params.row_chunk,
                 on_overflow="truncate"
                 if self.params.on_overflow == "ignore" else "grow",
-                precision=self.params.precision)
+                precision=self.params.precision,
+                method=self.params.matmul_method)
             self._policy.__enter__()
         return self
 
@@ -139,9 +141,11 @@ def orthogonalize(h, isq, params):
     equal to its own transpose).
     """
     if isq.k <= 1 and alg.is_identity(isq):
-        wh = alg.filter_small(h, params.threshold) \
-            if params.threshold > 0 else h
-        return wh, isq
+        # the reference's identity path copies without filtering
+        # (SimilarityTransform, PSMatrixAlgebraModule.F90:603-654);
+        # aliasing instead of copying saves a full matrix (1.5 GB at
+        # the 2^20-row bench shape) — all containers are immutable
+        return h, isq
     isqt = alg.transpose(isq).conjugate()
     wh = alg.similarity_transform(h, isq, isqt, threshold=params.threshold)
     return wh, isqt
@@ -260,7 +264,8 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
                                          on_overflow="truncate",
                                          row_chunk=params.row_chunk,
                                          collect=coll,
-                                         precision=params.precision):
+                                         precision=params.precision,
+                                         method=params.matmul_method):
                     uc2, scal = step_fn(uc, *cs)
                 for f in coll:
                     ovf = jnp.maximum(ovf, jnp.asarray(f, jnp.int32))

@@ -120,6 +120,14 @@ class SolverParameters:
     # 'high' (3 passes, ~2x MXU throughput, ~1e-6 relative dot error —
     # an opt-in speed knob for threshold >= 1e-5 workloads).
     precision: str = "highest"
+    # SpGEMM dispatch override (None = measured auto gates).  The main
+    # production value is 'pallas_band': compile ONLY the windowed band
+    # kernel for workloads known to stay banded — the auto dispatch's
+    # runtime cond also compiles the general fallback arm, whose chunk
+    # buffers cost ~5 GB of reserved HBM at the 2^20-row bench shape.
+    # A violated band assumption is detected (poisoned fill count ->
+    # the on_overflow machinery), never silently wrong.
+    matmul_method: Optional[str] = None
 
     def copy(self) -> "SolverParameters":
         return replace(self)

@@ -285,3 +285,56 @@ def test_kernel_v4_band_offsets(rng):
     d_ref = np.asarray(bell.to_dense(ref_c, ref_b, nbc=R))
     d_got = np.asarray(bell.to_dense(cc1, cb1, nbc=R))
     assert np.allclose(d_ref, d_got, atol=1e-4)
+
+
+def test_band_mode_force_and_violation(rng):
+    """r4: band_mode='force' compiles only the band arm; a violated
+    band assumption poisons the fill count (detected by the caller's
+    overflow machinery) instead of silently clipping."""
+    import jax.numpy as jnp
+    from ntpoly_tpu.config import EMPTY
+    from ntpoly_tpu.ops import spgemm_pallas as sp
+
+    bs, R, K = 8, 32, 3
+    ac = np.full((R, K), EMPTY, np.int32)
+    for r in range(R):
+        lo = max(0, r - 1)
+        cols = [c for c in range(lo, lo + K) if c <= min(R - 1, r + 1)]
+        ac[r, :len(cols)] = cols
+    ab = rng.standard_normal((R, K, bs, bs)).astype(np.float32)
+    k_out = 8
+    cc_a, cb_a, u_a = sp.spgemm_pallas(
+        jnp.asarray(ac), jnp.asarray(ab), jnp.asarray(ac),
+        jnp.asarray(ab), k_out=k_out, interpret=True)
+    cc_f, cb_f, u_f = sp.spgemm_pallas(
+        jnp.asarray(ac), jnp.asarray(ab), jnp.asarray(ac),
+        jnp.asarray(ab), k_out=k_out, interpret=True, band_mode="force")
+    assert np.array_equal(np.asarray(cc_a), np.asarray(cc_f))
+    assert np.array_equal(np.asarray(cb_a), np.asarray(cb_f))
+    assert np.array_equal(np.asarray(u_a), np.asarray(u_f))
+    # violation: non-contiguous cols — forced mode poisons ucnt
+    ac_nc = ac.copy()
+    ac_nc[5] = [1, 4, 9]
+    _, _, u_v = sp.spgemm_pallas(
+        jnp.asarray(ac_nc), jnp.asarray(ab), jnp.asarray(ac_nc),
+        jnp.asarray(ab), k_out=k_out, interpret=True, band_mode="force")
+    assert int(jnp.max(u_v)) >= EMPTY
+
+    # method='pallas_band' through the distributed layer raises via the
+    # overflow machinery on violation
+    import jax
+    from ntpoly_tpu.parallel import pmatrix as PM, algebra as alg
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.utils.errors import NTPolyError
+    grid = ProcessGrid(1, 1, 1)
+    dim = 64
+    m = PM.banded(dim, 7, lambda i, j: 1.0 / (1.0 + abs(i - j)), bs=8,
+                  grid=grid)
+    c1 = alg.matmul(m, m, threshold=0.0, method="pallas_band",
+                    k_out=int(alg.fill_bound(m, m)),
+                    on_overflow="truncate")
+    c2 = alg.matmul(m, m, threshold=0.0, method="pallas",
+                    k_out=int(alg.fill_bound(m, m)),
+                    on_overflow="truncate")
+    assert np.allclose(np.asarray(PM.to_dense(c1)),
+                       np.asarray(PM.to_dense(c2)), atol=1e-5)

@@ -437,15 +437,21 @@ def bench_trs4_1m(grid, on_cpu):
     # this threshold) stays within +-1 block, so 6 slots cover it; the
     # CPU smoke variant at bs=32 needs more.  'warn' (not 'grow') keeps
     # carry donation legal — the warning is the honesty signal.
+    # eager iterations (iters_per_sync=1): per-op peak memory is what
+    # fits the 2^20-row solve in 16 GB HBM — the fused-chunk scan keeps
+    # too many intermediates live; the frugal eager loop frees X before
+    # the polynomial multiply.  pallas_band compiles only the band
+    # kernel arm (the general fallback's buffers are the rest of the
+    # margin).
     params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
-                              iters_per_sync=4,
+                              iters_per_sync=1,
                               k_out=10 if on_cpu else 5,
                               matmul_method=None if on_cpu
                               else "pallas_band",
                               on_overflow="warn", be_verbose=True)
     warm = params.copy()
     warm.be_verbose = False
-    warm.max_iterations = warm.iters_per_sync
+    warm.max_iterations = 2
     _sync(density.trs4(h, isq, float(nel), warm)[0])
     log = os.path.join(tempfile.mkdtemp(), "trs4_1m.yaml")
     activate_logger(log)

@@ -87,7 +87,8 @@ def capacity_policy(k_out: int | None = None, row_chunk: int | None = None,
          _policy.collect, _policy.precision, _policy.method) = prev
 
 __all__ = [
-    "matmul", "increment", "scale", "trace", "dot", "norm", "grand_sum",
+    "matmul", "increment", "scale", "trace", "dot",
+    "norm", "grand_sum",
     "pairwise_multiply", "filter_small", "transpose", "conjugate",
     "diagonal_scale", "measure_asymmetry", "symmetrize",
     "similarity_transform", "column_sums", "gershgorin_bounds", "spmv",
@@ -327,9 +328,34 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
 @functools.partial(jax.jit, static_argnames=("k_out",))
 def _increment_jit(a: PSMatrix, b: PSMatrix, alpha, beta, threshold,
                    k_out: int):
-    cc, cb = bell.add(a.col_ids, a.blocks, b.col_ids, b.blocks,
-                      alpha=alpha, beta=beta, threshold=threshold,
-                      k_out=k_out)
+    nbr = a.col_ids.shape[1]
+    # Row-chunk the k-way merge on big single-device shards: its
+    # [R, KA+KB, bs, bs] concatenation and merge temporaries would
+    # otherwise dominate HBM (measured 5 GB + 2x2.5 GB per increment in
+    # the 2^20-row TRS4 chunk program); lax.map bounds them to the
+    # chunk.  Multi-device meshes shard the row axis anyway.
+    split = nbr // 256 if (a.grid.n_devices == 1 and nbr >= 512) else 1
+    if split > 1 and nbr % split == 0:
+        def body(ops):
+            ac, ab_, bc, bb_ = ops
+            return bell.add(ac, ab_, bc, bb_, alpha=alpha, beta=beta,
+                            threshold=threshold, k_out=k_out)
+
+        def resh(arr):
+            return jnp.moveaxis(
+                arr.reshape((arr.shape[0], split, nbr // split)
+                            + arr.shape[2:]), 1, 0)
+
+        cc, cb = jax.lax.map(body, (resh(a.col_ids), resh(a.blocks),
+                                    resh(b.col_ids), resh(b.blocks)))
+        cc = jnp.moveaxis(cc, 0, 1).reshape(
+            (a.col_ids.shape[0], nbr) + cc.shape[3:])
+        cb = jnp.moveaxis(cb, 0, 1).reshape(
+            (a.blocks.shape[0], nbr) + cb.shape[3:])
+    else:
+        cc, cb = bell.add(a.col_ids, a.blocks, b.col_ids, b.blocks,
+                          alpha=alpha, beta=beta, threshold=threshold,
+                          k_out=k_out)
     fill = jnp.max(bell.union_fill(a.col_ids, b.col_ids))
     out = PSMatrix(cc, cb, a.dim, a.bs, a.grid).astype(
         jnp.result_type(a.dtype, b.dtype))

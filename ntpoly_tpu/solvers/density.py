@@ -282,6 +282,9 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
     thr = params.threshold
     k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
 
+    def inc(a, b, alpha, beta):
+        return alg.increment(a, b, alpha, beta, threshold=thr)
+
     def step(xc, whc, imatc):
         # fx = 4X - 3X^2 and gx = I - 2X + X^2 are never materialized:
         # poly = fx + sigma*gx = (4-2s)X + (s-3)X^2 + sI, and both trace
@@ -298,10 +301,10 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         sigma = jnp.where(jnp.abs(trace_gx) < 1e-14,
                           0.5 * (sigma_max - sigma_min),
                           (trace - trace_fx) / trace_gx)
-        poly = alg.increment(
-            alg.increment(xc, x2, 4.0 - 2.0 * sigma, sigma - 3.0,
-                          threshold=thr),
-            imatc, 1.0, sigma, threshold=thr)
+        # x2's table is the widest (its candidates cover x's and the
+        # diagonal), so it leads every aligned add
+        poly = inc(inc(x2, xc, sigma - 3.0, 4.0 - 2.0 * sigma),
+                   imatc, 1.0, sigma)
         x_mid = alg.matmul(x2, poly, threshold=thr)
         # The sigma clamps as scalar-selected coefficients instead of
         # whole-matrix selects: x_new = a*X + b*X^2 + c*(X^2 poly) with
@@ -313,9 +316,7 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         ca = jnp.where(hi, 2.0, 0.0)
         cb = jnp.where(hi, -1.0, jnp.where(lo, 1.0, 0.0))
         cc = jnp.where(hi | lo, 0.0, 1.0)
-        x_new = alg.increment(
-            alg.increment(xc, x2, ca, cb, threshold=thr),
-            x_mid, 1.0, cc, threshold=thr)
+        x_new = inc(inc(x2, xc, cb, ca), x_mid, 1.0, cc)
         energy = jnp.real(alg.dot(x_new, whc))
         return x_new, (energy, sigma)
 
@@ -353,17 +354,18 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
             total = 0
             with iteration_log(params) as ilog:
                 for ii in range(params.max_iterations):
+                    # frugal form (see _trs4_chunked): fx/gx are never
+                    # materialized; eager branching on concrete sigma
+                    # additionally frees X before the polynomial
+                    # multiply in the common branch — at the 2^20-row
+                    # bench shape that is the difference between
+                    # fitting HBM and not
                     x2 = alg.matmul(x, x, threshold=params.threshold)
-                    fx = alg.increment(
-                        x2, x, -3.0, 4.0,
-                        threshold=params.threshold)        # 4X - 3X^2
-                    gx = alg.increment(
-                        alg.increment(imat, x, 1.0, -2.0,
-                                      threshold=params.threshold),
-                        x2, 1.0, 1.0,
-                        threshold=params.threshold)        # I - 2X + X^2
-                    trace_fx = real_scalar(alg.dot(x2, fx))
-                    trace_gx = real_scalar(alg.dot(x2, gx))
+                    d1 = real_scalar(alg.dot(x2, x))
+                    d2 = real_scalar(alg.dot(x2, x2))
+                    t2 = real_scalar(alg.trace(x2))
+                    trace_fx = 4.0 * d1 - 3.0 * d2
+                    trace_gx = t2 - 2.0 * d1 + d2
                     if abs(trace_gx) < 1e-14:
                         sigma = 0.5 * (sigma_max - sigma_min)
                     else:
@@ -375,10 +377,17 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                     elif sigma < sigma_min:
                         x = x2
                     else:
-                        poly = alg.increment(fx, gx, 1.0, sigma,
-                                             threshold=params.threshold)
+                        poly = alg.increment(
+                            alg.increment(x2, x, sigma - 3.0,
+                                          4.0 - 2.0 * sigma,
+                                          threshold=params.threshold),
+                            imat, 1.0, sigma,
+                            threshold=params.threshold)
+                        del x                # free before the multiply
                         x = alg.matmul(x2, poly,
                                        threshold=params.threshold)
+                        del poly
+                    del x2
                     energy_old = energy
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii

@@ -443,7 +443,11 @@ def bench_trs4_1m(grid, on_cpu):
     # the polynomial multiply.  pallas_band compiles only the band
     # kernel arm (the general fallback's buffers are the rest of the
     # margin).
-    params = SolverParameters(converge_diff=1e-6, threshold=1e-7,
+    # converge_diff: the energy scale here is ~9e4, so f32 resolves
+    # ~0.01 absolute; 0.05 is ~5e-10 per electron — far tighter than
+    # the reference's 1e-6 on its dim-7..31 test systems, and the
+    # tightest an f32 energy trace can certify at this dimension.
+    params = SolverParameters(converge_diff=0.05, threshold=1e-7,
                               iters_per_sync=1,
                               k_out=10 if on_cpu else 5,
                               matmul_method=None if on_cpu

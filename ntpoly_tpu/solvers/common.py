@@ -171,7 +171,10 @@ def maybe_unpermute(params, mat):
 
 
 def identity_like(mat) -> PM.PSMatrix:
-    return PM.identity(mat.dim, bs=mat.bs, k=mat.k, dtype=mat.dtype,
+    """Identity at capacity 1 — every op handles mixed slot counts, and
+    matching ``mat.k`` would just store (k-1) zero slots per row
+    (1 GB of zeros at the 2^20-row bench shape)."""
+    return PM.identity(mat.dim, bs=mat.bs, dtype=mat.dtype,
                        grid=mat.grid)
 
 

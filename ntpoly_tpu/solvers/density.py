@@ -175,19 +175,22 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
     return k, energy, mu
 
 
-def _pin_capacity(params, *mats):
-    """Pinned capacity for a chunked purification: user knob, else 3x the
+def _pin_capacity(params, *mats, n_carry: int = 1):
+    """Pinned capacity for a chunked solve: user knob, else 3x the
     structural fill of the first squaring (the peak of purification
-    fill-in).  Only the FIRST matrix (the scan carry) is padded to the
-    pin — every bell op handles mixed slot counts, so padding the
+    fill-in).  Only the first ``n_carry`` matrices — the scan carry,
+    whose shapes must stay fixed across iterations — are padded to the
+    pin; every bell op handles mixed slot counts, so padding the
     constant operands (working H, identity) would only multiply their
-    HBM footprint (3 GB + 2.5 GB of zeros at the 2^20-row bench shape)."""
+    HBM footprint (3 GB + 2.5 GB of zeros at the 2^20-row bench
+    shape)."""
     from .common import pad_capacity
     x = mats[0]
     cap = x.panel_nb
     k_pin = params.k_out or min(cap, 3 * alg.fill_bound(x, x))
-    k_pin = max(k_pin, x.k)
-    return k_pin, (pad_capacity(x, k_pin),) + mats[1:]
+    k_pin = max(k_pin, *(m.k for m in mats[:n_carry]))
+    return k_pin, tuple(pad_capacity(m, k_pin) for m in mats[:n_carry]
+                        ) + mats[n_carry:]
 
 
 def _pm_chunked(x, wh, imat, params, monitor, ilog):

@@ -66,7 +66,8 @@ def _cg_chunked(x, r, p, ab, params, monitor):
     from .density import _pin_capacity
 
     thr = params.threshold
-    k_pin, (x, r, p, abp) = _pin_capacity(params, x, r, p, ab)
+    k_pin, (x, r, p, abp) = _pin_capacity(params, x, r, p, ab,
+                                          n_carry=3)
 
     def step(carry, abc):
         xc, rc, pc = carry

@@ -81,7 +81,8 @@ def _ns_order2_chunked(y, z, imat, params, monitor):
     from .density import _pin_capacity
 
     thr = params.threshold
-    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat)
+    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat,
+                                         n_carry=2)
 
     def step(carry, imatc):
         yc, zc = carry
@@ -176,7 +177,8 @@ def _ns_taylor_chunked(y, z, imat, order, params, monitor):
     from .density import _pin_capacity
 
     thr = params.threshold
-    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat)
+    k_pin, (y, z, imatp) = _pin_capacity(params, y, z, imat,
+                                         n_carry=2)
 
     def step(carry, imatc):
         yc, zc = carry

@@ -577,6 +577,8 @@ def _call_kernel_v4(a_cols, gg0, wlo, scal, a_blocks, b_panel,
     )(a_cols.reshape(-1), gg0.reshape(-1), wlo, scal, a_blocks, b_panel)
 
 
+V3_MIN_ROWS = 128                      # regime gate (see _v3_pick)
+V3_MAX_KA = 8
 V3_VMEM_BUDGET = 64 * 1024 * 1024      # picker budget (estimate)
 # Mosaic's scoped-VMEM cap for the band kernels: the picker's estimate
 # misses alignment/semaphore slop, so the compiler cap carries ~1.5x
@@ -587,8 +589,18 @@ V3_SMEM_BUDGET = 512 * 1024            # prefetch arrays (acols + plan)
 
 def _v3_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
              out_item: int, r: int, nbk: int):
-    """(g_rows, window) for the v3 kernel, or (None, None) when no group
-    size satisfies the VMEM/SMEM/grid budgets for this shape."""
+    """(g_rows, window) for the band kernels, or (None, None) when the
+    shape is outside their regime.
+
+    The regime gate is MEASURED: the windowed kernels win at many-row
+    low-K shapes (1.8x at nb=4096, KA=3 — PROFILE_r04_lowk.json) but
+    LOSE ~2x at few-row high-K shapes (hotelling at nb=32, KA up to 24:
+    4.3 s -> 8.7 s per solve with the cond enabled — tiny grids can't
+    pipeline the window DMAs and the panel store's dynamic lane offset
+    widens with k_out), so small-R / large-KA shapes keep the chunked
+    kernel."""
+    if r < V3_MIN_ROWS or ka > V3_MAX_KA:
+        return None, None
     if (r * ka + r * ka * kb) * 4 > V3_SMEM_BUDGET:
         return None, None
     for g in (8, 16, 4, 2):
@@ -799,8 +811,9 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     # contiguous window DMAs instead of ceil(R/chunk) calls + a full
     # concatenate.  The width check is data-dependent, so the jit
     # branches with lax.cond; both arms share output shapes.
-    g_rows, wv3 = _v3_pick(KA, KB, k_out, bs, compute_dt.itemsize,
-                           dt.itemsize, R, NBK)
+    g_rows, wv3 = _v3_pick(KA, KB, k_out, bs,
+                           jnp.dtype(compute_dt).itemsize,
+                           jnp.dtype(dt).itemsize, R, NBK)
     if band_mode == "off":
         g_rows = None
     occ_used = occp

@@ -516,13 +516,27 @@ def symmetrize(a: PSMatrix) -> PSMatrix:
     return increment(scale(a, 0.5), transpose(scale(a, 0.5)))
 
 
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _is_identity_jit(col_ids, blocks, *, dim: int):
+    """Total |A - I| in one fused pass: per slot, the expected block is
+    eye (on the unpadded diagonal) where col == row, zero otherwise."""
+    pc, nbr, k = col_ids.shape
+    bs = blocks.shape[-1]
+    rows = jnp.arange(nbr, dtype=jnp.int32)[None, :, None]
+    eye = jnp.eye(bs, dtype=blocks.real.dtype)
+    gi = rows[..., None, None] * bs + jnp.arange(bs)[:, None]
+    want = (jnp.where((col_ids == rows)[..., None, None]
+                      & (gi < dim), eye, 0).astype(blocks.dtype))
+    return jnp.sum(jnp.abs(blocks - want))
+
+
 def is_identity(a: PSMatrix) -> bool:
     """Exact identity check (reference IsIdentity,
-    PSMatrixModule.F90:1810-1852) — one scalar readback; conservatively
-    False under a jit trace (no data-dependent control flow there)."""
-    ident = identity(a.dim, bs=a.bs, k=max(a.k, 1), dtype=a.dtype,
-                     grid=a.grid)
-    nv = norm(increment(a, ident, 1.0, -1.0))
+    PSMatrixModule.F90:1810-1852) — ONE fused pass + one scalar readback
+    (the r3 version built an identity, ran an eager increment chain and
+    a norm: ~0.7 s of dispatch per check at the 10k bench shape);
+    conservatively False under a jit trace."""
+    nv = _is_identity_jit(a.col_ids, a.blocks, dim=a.dim)
     if isinstance(nv, jax.core.Tracer):
         return False
     return float(nv) == 0.0

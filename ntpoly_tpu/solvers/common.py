@@ -152,7 +152,12 @@ def orthogonalize(h, isq, params):
 
 
 def deorthogonalize(x, isq, isqt, params):
-    """K = ISQ^T @ X @ ISQ."""
+    """K = ISQ^T @ X @ ISQ.  When orthogonalize short-circuited on an
+    identity ISQ it returned isqt IS isq — reuse that decision instead
+    of paying another eager identity check (~0.7 s of dispatch at the
+    10k bench shape)."""
+    if isqt is isq:
+        return x
     return alg.similarity_transform(x, isqt, isq, threshold=params.threshold)
 
 
@@ -209,9 +214,19 @@ def pad_capacity(m: PM.PSMatrix, k: int) -> PM.PSMatrix:
     return m.with_data(cc, cb)
 
 
+# chunk-program cache across solves: a fresh jit closure per solve would
+# otherwise re-trace (and round-trip the tunnel's compile service for)
+# an identical program on every warmed solve — measured seconds per
+# solve at the 10k bench shape.  Keyed by the solver-declared identity
+# (algorithm name + every closed-over scalar) plus everything else that
+# shapes the traced graph; bounded FIFO.
+_CHUNK_FN_CACHE: dict = {}
+_CHUNK_FN_CACHE_MAX = 32
+
+
 def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
                 k_pin: int, aux_names=("Energy Value",), conv_index=0,
-                conv_mode: str = "diff"):
+                conv_mode: str = "diff", cache_key=None):
     """Drive step_fn with params.iters_per_sync iterations fused into one
     compiled lax.scan per host sync (the TPU answer to the reference's
     per-iteration MPI_Allreduce convergence checks: dispatch and readback
@@ -300,6 +315,17 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
         donate = ((mode != "grow" or k_pin >= cap)
                   and _unique_leaves(carry))
         key = (k_pin, donate)
+        if cache_key is not None:
+            avals = tuple(
+                (leaf.shape, str(leaf.dtype))
+                for leaf in jax.tree_util.tree_leaves((carry0, consts)))
+            gkey = (cache_key, key, chunk, avals, params.row_chunk,
+                    params.precision, params.matmul_method, mode)
+            if gkey not in _CHUNK_FN_CACHE:
+                while len(_CHUNK_FN_CACHE) >= _CHUNK_FN_CACHE_MAX:
+                    _CHUNK_FN_CACHE.pop(next(iter(_CHUNK_FN_CACHE)))
+                _CHUNK_FN_CACHE[gkey] = make_chunk_fn(k_pin, donate)
+            return _CHUNK_FN_CACHE[gkey]
         if key not in chunk_fns:
             chunk_fns[key] = make_chunk_fn(k_pin, donate)
         return chunk_fns[key]

@@ -222,7 +222,8 @@ def _pm_chunked(x, wh, imat, params, monitor, ilog):
         return x_new, (energy, sigma)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
-                       k_pin=k_pin, aux_names=("Energy Value",))
+                       k_pin=k_pin, aux_names=("Energy Value",),
+                       cache_key=("pm", thr))
 
 
 def _hpcp_chunked(d1, wh, imat, params, monitor, ilog):
@@ -248,7 +249,8 @@ def _hpcp_chunked(d1, wh, imat, params, monitor, ilog):
         return d_new, (energy, s)
 
     return run_chunked(step, d1, (whp, imatp), params, monitor, ilog,
-                       k_pin=k_pin, aux_names=("Energy Value",))
+                       k_pin=k_pin, aux_names=("Energy Value",),
+                       cache_key=("hpcp", thr))
 
 
 def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
@@ -269,7 +271,8 @@ def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
         return x_new, (energy, sigma)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
-                       k_pin=k_pin, aux_names=("Energy Value",))
+                       k_pin=k_pin, aux_names=("Energy Value",),
+                       cache_key=("trs2", thr, float(trace)))
 
 
 def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
@@ -324,7 +327,9 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         return x_new, (energy, sigma)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
-                       k_pin=k_pin, aux_names=("Energy Value",))
+                       k_pin=k_pin, aux_names=("Energy Value",),
+                       cache_key=("trs4", thr, float(trace), sigma_min,
+                                  sigma_max))
 
 
 def trs4(h, isq, trace, params: SolverParameters | None = None):

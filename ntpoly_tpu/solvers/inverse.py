@@ -66,7 +66,8 @@ def _hotelling_chunked(x, balanced, imat, params, monitor):
     with iteration_log(params) as ilog:
         x, _, total = run_chunked(
             step, x, (balp, imatp), params, monitor, ilog,
-            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value",
+            cache_key=("hotelling", thr))
     return x, total
 
 

@@ -85,7 +85,8 @@ def _cg_chunked(x, r, p, ab, params, monitor):
     with iteration_log(params) as ilog:
         (x, _, _), _, total = run_chunked(
             step, (x, r, p), (abp,), params, monitor, ilog,
-            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value",
+            cache_key=("cg", thr))
     return x, total
 
 

@@ -85,7 +85,8 @@ def _core_chunked(out, imat, xk0, params, monitor):
     with iteration_log(params) as ilog:
         (out, _), _, total = run_chunked(
             step, carry0, (imatp,), params, monitor, ilog,
-            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value")
+            k_pin=k_pin, aux_names=("Convergence",), conv_mode="value",
+            cache_key=("sign_core", thr))
     return out, total
 
 

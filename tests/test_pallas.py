@@ -165,6 +165,7 @@ def test_kernel_v3_windowed_matches_v1(rng):
     import jax.numpy as jnp
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
+    sp.V3_MIN_ROWS = 1                  # exercise the band path small
     bs, R, K = 8, 32, 3
     # banded col ids: row r has cols r-1, r, r+1 (clipped)
     ac = np.stack([np.clip(np.arange(R) + d, 0, R - 1)
@@ -239,6 +240,7 @@ def test_kernel_v4_band_offsets(rng):
     from ntpoly_tpu.config import EMPTY
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
+    sp.V3_MIN_ROWS = 1                  # exercise the band path small
     bs, R, K = 8, 32, 3
     # band cols packed at their rank (what the fills and the kernel's
     # own in-place flushing actually produce): [lo, lo+1, ...] + EMPTY
@@ -295,6 +297,7 @@ def test_band_mode_force_and_violation(rng):
     from ntpoly_tpu.config import EMPTY
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
+    sp.V3_MIN_ROWS = 1                  # exercise the band path small
     bs, R, K = 8, 32, 3
     ac = np.full((R, K), EMPTY, np.int32)
     for r in range(R):

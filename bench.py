@@ -701,8 +701,8 @@ def main():
 
     # headline first in execution (most important to complete), last in
     # output
-    budget = {"spgemm": 720, "trs4": 720, "trs4_100k": 1200,
-              "trs4_1m": 1800, "fill_1m": 900}
+    budget = {"spgemm": 900, "trs4": 1500, "trs4_100k": 1500,
+              "trs4_1m": 1800, "fill_1m": 1200}
     for name in ["spgemm"] + [n for n in ORDER if n != "spgemm"]:
         attempt(name, budget.get(name, 360))
     # the tunneled backend's compile stalls are transient: one retry pass

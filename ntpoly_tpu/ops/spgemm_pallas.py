@@ -588,7 +588,8 @@ V3_SMEM_BUDGET = 512 * 1024            # prefetch arrays (acols + plan)
 
 
 def _v3_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
-             out_item: int, r: int, nbk: int):
+             out_item: int, r: int, nbk: int,
+             interpret: bool = False):
     """(g_rows, window) for the band kernels, or (None, None) when the
     shape is outside their regime.
 
@@ -600,6 +601,14 @@ def _v3_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
     widens with k_out), so small-R / large-KA shapes keep the chunked
     kernel."""
     if r < V3_MIN_ROWS or ka > V3_MAX_KA:
+        return None, None
+    # v4's panel slice-add needs a lane offset Mosaic can prove is a
+    # multiple of 128 (off = gg0*bs), and a static slice width kb*bs
+    # that fits the k_out*bs accumulator (review findings r4: bs<128
+    # crashed Mosaic on hardware; kb>k_out was a trace-time TypeError)
+    if bs % 128 != 0 and not interpret:
+        return None, None
+    if kb > k_out:
         return None, None
     if (r * ka + r * ka * kb) * 4 > V3_SMEM_BUDGET:
         return None, None
@@ -813,7 +822,8 @@ def spgemm_pallas(a_cols: Array, a_blocks: Array, b_cols: Array,
     # branches with lax.cond; both arms share output shapes.
     g_rows, wv3 = _v3_pick(KA, KB, k_out, bs,
                            jnp.dtype(compute_dt).itemsize,
-                           jnp.dtype(dt).itemsize, R, NBK)
+                           jnp.dtype(dt).itemsize, R, NBK,
+                           interpret=interpret)
     if band_mode == "off":
         g_rows = None
     occ_used = occp

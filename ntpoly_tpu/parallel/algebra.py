@@ -291,20 +291,32 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
             method = _policy_get("method") or _pick_method(a, b, k_out)
         interpret = (method in ("pallas", "pallas_band")
                      and _on_cpu(a.grid))
+        band = method == "pallas_band"
         cc, cb, stats = _summa(
             a.col_ids, a.blocks.astype(dt), b.col_ids, b.blocks.astype(dt),
             jnp.asarray(alpha, dt), wt, threshold,
             grid=a.grid, pnb=a.panel_nb, k_out=k_out, s_slices=s,
             row_chunk=row_chunk, method=method, interpret=interpret,
-            want_fill=grow or collector is not None, precision=precision)
+            want_fill=grow or band or collector is not None,
+            precision=precision)
         if collector is not None:
             collector.append(stats[0])            # exact structural need
-        if not grow or k_out >= cap:
-            break
         if isinstance(stats, jax.core.Tracer):
             break
         st = np.asarray(stats)                # ONE host sync per multiply
         need = int(st[0])                     # structural capacity check
+        if band and need >= EMPTY:
+            # a violated band assumption poisons the fill count to
+            # EMPTY — surface it in EVERY overflow mode ('detected,
+            # never silently wrong'); the sync is the price forced
+            # band mode opts into
+            from ..utils.errors import NTPolyError
+            raise NTPolyError(
+                "matmul(method='pallas_band'): operands violate the "
+                "band assumption (contiguous B rows, spans within "
+                "k_out); use method='auto' or 'pallas'")
+        if not grow or k_out >= cap:
+            break
         if need <= k_out:
             # trim grown-but-unused capacity (slots are sorted, EMPTY
             # last, so a slice suffices) — capacity bloat widens every

@@ -190,6 +190,14 @@ def empty(dim: int, *, bs: int, k: int | None = None, dtype=None,
     return PSMatrix(col_ids, blocks, dim, bs, grid)
 
 
+def _eye_fn(i, j):
+    """Module-level so its identity is stable: ``fill_banded`` keys the
+    jit cache on the value function object — a fresh closure per call
+    would re-trace and recompile every identity (one tunnel compile
+    round trip per solver invocation, review finding r4)."""
+    return jnp.where(i == j, 1.0, 0.0)
+
+
 def identity(dim: int, *, bs: int, k: int | None = None, dtype=None,
              grid: ProcessGrid | None = None, scale: float = 1.0) -> PSMatrix:
     """FillMatrixIdentity (reference PSMatrixModule.F90:864-979): ones on the
@@ -197,12 +205,10 @@ def identity(dim: int, *, bs: int, k: int | None = None, dtype=None,
     — no host triplets, no upload (0.5 GB saved per identity at 2^20
     rows over the tunneled backend)."""
     m = empty(dim, bs=bs, dtype=dtype, grid=grid)
-    s = np.asarray(scale).item()
-
-    def fn(i, j, _s=s):
-        return jnp.where(i == j, _s, 0.0)
-
-    out = fill_banded(m, 0, fn)
+    out = fill_banded(m, 0, _eye_fn)
+    if np.asarray(scale).item() != 1.0:
+        out = out.with_data(out.col_ids,
+                            out.blocks * jnp.asarray(scale, out.dtype))
     if k and k > out.k:                   # honor a requested capacity
         pads = min(k, out.panel_nb) - out.k
         cc = jnp.pad(out.col_ids, ((0, 0), (0, 0), (0, pads)),
@@ -352,7 +358,10 @@ def fill_banded(m: PSMatrix, halfwidth: int, fn,
     """Fill a banded matrix DEVICE-SIDE: entry (i, j) = fn(i, j) wherever
     |i - j| <= halfwidth (and |fn| > threshold), zero elsewhere.
 
-    ``fn`` is a jax-traceable elementwise function of int32 index arrays.
+    ``fn`` is a jax-traceable elementwise function of int32 index
+    arrays; its OBJECT IDENTITY is part of the jit cache key, so pass a
+    module-level function (not a fresh closure) from code that fills
+    repeatedly.
     The block structure of a band is analytic, so both the col-id table
     and the block tensor are generated under jit straight into the
     sharded layout — no host triplet materialization and no

@@ -310,10 +310,18 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
         return True
 
     chunk_fns = {}
+    calls = [0]
 
     def get_chunk_fn(carry):
-        donate = ((mode != "grow" or k_pin >= cap)
+        # Never donate the FIRST chunk's carry: solvers may seed it with
+        # caller-owned matrices (e.g. NS order 2 starts from the input
+        # matrix itself, and pad_capacity returns the same object when
+        # no padding is needed) — donating those deletes the user's
+        # buffers.  Later carries are chunk outputs, owned here.
+        donate = (calls[0] > 0
+                  and (mode != "grow" or k_pin >= cap)
                   and _unique_leaves(carry))
+        calls[0] += 1
         key = (k_pin, donate)
         if cache_key is not None:
             avals = tuple(
@@ -337,6 +345,14 @@ def run_chunked(step_fn, carry0, consts, params, monitor, ilog, *,
         new_carry, ovf, scal = get_chunk_fn(carry0)(carry0, *consts)
         scal = [np.asarray(s) for s in scal]      # ONE sync per chunk
         need = int(ovf)                           # same sync (ovf is ready)
+        from ..config import EMPTY
+        if need >= EMPTY:
+            # matmul_method='pallas_band' poisons the fill stats when
+            # the band assumption is violated — not a capacity problem
+            raise NTPolyError(
+                "chunked solve: matmul_method='pallas_band' operands "
+                "violate the band assumption; rerun without the method "
+                "override")
         if need > k_pin and mode != "ignore":
             msg = (f"chunked solve: structural fill {need} exceeds pinned "
                    f"capacity {k_pin} — results truncated this chunk")

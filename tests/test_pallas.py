@@ -157,7 +157,7 @@ def test_kernel_v2_matches_v1(rng):
         assert np.array_equal(np.asarray(n1), np.asarray(n2))
 
 
-def test_kernel_v3_windowed_matches_v1(rng):
+def test_kernel_v3_windowed_matches_v1(rng, monkeypatch):
     """r4: the windowed row-batch kernel (one call, contiguous window
     DMAs) must match the per-(row, slot) gather kernel bit-for-bit on
     banded operands, and the public entry must fall back to the chunked
@@ -165,7 +165,7 @@ def test_kernel_v3_windowed_matches_v1(rng):
     import jax.numpy as jnp
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
-    sp.V3_MIN_ROWS = 1                  # exercise the band path small
+    monkeypatch.setattr(sp, "V3_MIN_ROWS", 1)   # restore after test
     bs, R, K = 8, 32, 3
     # banded col ids: row r has cols r-1, r, r+1 (clipped)
     ac = np.stack([np.clip(np.arange(R) + d, 0, R - 1)
@@ -191,7 +191,8 @@ def test_kernel_v3_windowed_matches_v1(rng):
                              jnp.asarray(ab), b_panel, kb=K, nbk=R,
                              k_out=k_out, interpret=True,
                              out_dt=jnp.dtype(jnp.float32))
-    g, w = sp._v3_pick(K, K, k_out, bs, 4, 4, R, R)
+    g, w = sp._v3_pick(K, K, k_out, bs, 4, 4, R, R,
+                       interpret=True)
     assert g is not None
     pad = -R % g
     ac_p = np.pad(ac, ((0, pad), (0, 0)), constant_values=EMPTY)
@@ -231,7 +232,7 @@ def test_kernel_v3_windowed_matches_v1(rng):
                            atol=1e-4)
 
 
-def test_kernel_v4_band_offsets(rng):
+def test_kernel_v4_band_offsets(rng, monkeypatch):
     """r4: the band kernel (offset-form accumulation into a panel
     accumulator) must match the scatter kernels on banded operands,
     including EMPTY holes inside the band (zero blocks, any position),
@@ -240,7 +241,7 @@ def test_kernel_v4_band_offsets(rng):
     from ntpoly_tpu.config import EMPTY
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
-    sp.V3_MIN_ROWS = 1                  # exercise the band path small
+    monkeypatch.setattr(sp, "V3_MIN_ROWS", 1)   # restore after test
     bs, R, K = 8, 32, 3
     # band cols packed at their rank (what the fills and the kernel's
     # own in-place flushing actually produce): [lo, lo+1, ...] + EMPTY
@@ -289,7 +290,7 @@ def test_kernel_v4_band_offsets(rng):
     assert np.allclose(d_ref, d_got, atol=1e-4)
 
 
-def test_band_mode_force_and_violation(rng):
+def test_band_mode_force_and_violation(rng, monkeypatch):
     """r4: band_mode='force' compiles only the band arm; a violated
     band assumption poisons the fill count (detected by the caller's
     overflow machinery) instead of silently clipping."""
@@ -297,7 +298,7 @@ def test_band_mode_force_and_violation(rng):
     from ntpoly_tpu.config import EMPTY
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
-    sp.V3_MIN_ROWS = 1                  # exercise the band path small
+    monkeypatch.setattr(sp, "V3_MIN_ROWS", 1)   # restore after test
     bs, R, K = 8, 32, 3
     ac = np.full((R, K), EMPTY, np.int32)
     for r in range(R):
@@ -341,3 +342,33 @@ def test_band_mode_force_and_violation(rng):
                     on_overflow="truncate")
     assert np.allclose(np.asarray(PM.to_dense(c1)),
                        np.asarray(PM.to_dense(c2)), atol=1e-5)
+
+
+def test_band_mode_violation_raises(rng, monkeypatch):
+    """r4 review finding: a violated band assumption under
+    method='pallas_band' must RAISE in every overflow mode, not regrow
+    to cap and return silently wrong values."""
+    import pytest as _pytest
+    from ntpoly_tpu.ops import spgemm_pallas as sp
+    from ntpoly_tpu.parallel import pmatrix as PM, algebra as alg
+    from ntpoly_tpu.parallel.grid import ProcessGrid
+    from ntpoly_tpu.utils.errors import NTPolyError
+    monkeypatch.setattr(sp, "V3_MIN_ROWS", 1)
+    grid = ProcessGrid(1, 1, 1)
+    dim = 256
+    # striped (non-contiguous block cols) pattern: shape passes the v4
+    # budgets (small k, k_out >= kb) but band_plan must refuse it
+    i = np.arange(dim)
+    rows = np.concatenate([i, i, i])
+    cols = np.concatenate([i, (i + 16) % dim, (i + 40) % dim])
+    vals = np.concatenate([np.full(dim, 2.0), np.ones(dim), np.ones(dim)])
+    m = PM.empty(dim, bs=8, grid=grid, dtype=np.float32)
+    m = PM.fill_from_triplets(m, rows, cols, vals.astype(np.float32))
+    g, w = sp._v3_pick(m.k, m.k, 8, 8, 4, 4, m.nb, m.nb, interpret=True)
+    assert g is not None                  # shape IS band-eligible
+    _, _, ok = sp.band_plan(m.col_ids[0], m.col_ids[0], 8)
+    assert not bool(ok)                   # ...but the pattern is not
+    for mode in ("grow", "truncate"):
+        with _pytest.raises(NTPolyError, match="band"):
+            alg.matmul(m, m, method="pallas_band", k_out=8,
+                       on_overflow=mode)

@@ -372,7 +372,9 @@ def _increment_jit(a: PSMatrix, b: PSMatrix, alpha, beta, threshold,
     used = jnp.max(bell.used_slots(cc))
     out = PSMatrix(cc, cb, a.dim, a.bs, a.grid).astype(
         jnp.result_type(a.dtype, b.dtype))
-    return out, fill, used
+    # fill and used ride ONE stacked int so the eager caller pays one
+    # readback, not two (each tunnel sync is 25-80 ms)
+    return out, jnp.stack([fill, used])
 
 
 def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
@@ -385,24 +387,23 @@ def increment(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=1.0, threshold=0.0,
     on_overflow = on_overflow or _policy_get("on_overflow") or "grow"
     collector = _policy_get("collect")
     while True:
-        out, fill, used = _increment_jit(a, b, alpha, beta, threshold,
-                                         k_out=k)
+        out, stats = _increment_jit(a, b, alpha, beta, threshold, k_out=k)
         if collector is not None:
-            collector.append(fill)
-        need = _concrete_int(fill)
-        if (on_overflow != "grow" or k >= cap or need is None
-                or need <= k):
+            collector.append(stats[0])
+        if isinstance(stats, jax.core.Tracer):
+            return out
+        st = np.asarray(stats)                   # ONE sync
+        need, ue = int(st[0]), int(st[1])
+        if on_overflow != "grow" or k >= cap or need <= k:
             # trim unused capacity exactly as matmul does (merge output
             # is rank-packed: sorted, EMPTY last) — a policy-pinned
             # capacity above the union fill would otherwise widen every
             # downstream buffer (the 2^20-row solve's X started one
             # bucket fat and the whole iteration inherited it)
-            ue = _concrete_int(used)
-            if ue is not None:
-                k_eff = _k_bucket(ue, cap)
-                if k_eff < out.k:
-                    out = out.with_data(out.col_ids[..., :k_eff],
-                                        out.blocks[..., :k_eff, :, :])
+            k_eff = _k_bucket(ue, cap)
+            if k_eff < out.k:
+                out = out.with_data(out.col_ids[..., :k_eff],
+                                    out.blocks[..., :k_eff, :, :])
             return out
         k = _k_bucket(need, cap)
 

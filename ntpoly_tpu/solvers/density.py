@@ -15,11 +15,24 @@ potential) where applicable.
 """
 from __future__ import annotations
 
+import jax as _jax
+import jax.numpy as _jnp
+import numpy as _np
+
 from ..parallel import algebra as alg
 from .common import (resolve, solver_log, iteration_log, finish_iterations,
                      orthogonalize, deorthogonalize, maybe_permute,
                      maybe_unpermute, identity_like, real_scalar)
 from .parameters import SolverParameters
+
+
+@_jax.jit
+def _trs4_scalars_jit(a, b):
+    """[dot(A, B), dot(A, A), trace(A)] stacked — ONE readback instead of
+    three tunnel round trips (25-80 ms each) per eager TRS4 iteration."""
+    return _jnp.stack([_jnp.real(alg.dot(a, b)),
+                       _jnp.real(alg.dot(a, a)),
+                       _jnp.real(alg.trace(a))])
 
 
 def _bisect_chemical_potential(replay, total_iterations, params):
@@ -369,9 +382,9 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                     # bench shape that is the difference between
                     # fitting HBM and not
                     x2 = alg.matmul(x, x, threshold=params.threshold)
-                    d1 = real_scalar(alg.dot(x2, x))
-                    d2 = real_scalar(alg.dot(x2, x2))
-                    t2 = real_scalar(alg.trace(x2))
+                    d1, d2, t2 = [
+                        float(v)
+                        for v in _np.asarray(_trs4_scalars_jit(x2, x))]
                     trace_fx = 4.0 * d1 - 3.0 * d2
                     trace_gx = t2 - 2.0 * d1 + d2
                     if abs(trace_gx) < 1e-14:

@@ -40,6 +40,10 @@ def _run_workers(tmp_path, nproc, devs, grid, mode, port):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # tiny KV chunks force the multi-chunk exchange path (the production
+    # default is 64 MB; the chunking exists so a single bucket can never
+    # exceed gRPC message limits — ADVICE r4)
+    env["NTX_KV_CHUNK_BYTES"] = "4096"
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "_multihost_worker.py"),
@@ -165,6 +169,10 @@ def test_multi_process_structural_ops(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # tiny KV chunks force the multi-chunk exchange path (the production
+    # default is 64 MB; the chunking exists so a single bucket can never
+    # exceed gRPC message limits — ADVICE r4)
+    env["NTX_KV_CHUNK_BYTES"] = "4096"
     nproc = 2
     procs = [
         subprocess.Popen(

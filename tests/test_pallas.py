@@ -372,3 +372,39 @@ def test_band_mode_violation_raises(rng, monkeypatch):
         with _pytest.raises(NTPolyError, match="band"):
             alg.matmul(m, m, method="pallas_band", k_out=8,
                        on_overflow=mode)
+
+
+def test_band_mode_force_rejected_shape_raises(rng):
+    """ADVICE r4: band_mode='force' on a shape outside the band kernel's
+    regime must raise at trace time (the promised band-only compile is
+    impossible), never silently fall through to the chunked kernel."""
+    import pytest as _pytest
+    from ntpoly_tpu.ops import spgemm_pallas as sp
+
+    # NB: shape must differ from every other force-mode test in this
+    # file — spgemm_pallas is jitted, and a cached executable traced
+    # under a monkeypatched V3_MIN_ROWS would skip the trace-time check
+    bs, R, K = 8, 24, 4            # R=24 < V3_MIN_ROWS=128 -> rejected
+    ac = np.asarray(
+        [[max(0, r - 1) + t for t in range(K)] for r in range(R)],
+        np.int32)
+    ac = np.where(ac < R, ac, EMPTY)
+    ab = rng.standard_normal((R, K, bs, bs)).astype(np.float32)
+    with _pytest.raises(ValueError, match="regime"):
+        sp.spgemm_pallas(jnp.asarray(ac), jnp.asarray(ab),
+                         jnp.asarray(ac), jnp.asarray(ab),
+                         k_out=8, interpret=True, band_mode="force")
+
+
+def test_native_fill_nb_bound():
+    """ADVICE r4: blockfill.cpp's packed sort key overflows int64 at
+    nb >= 2^21 — fill_blocks must refuse (callers fall back to numpy)."""
+    import pytest as _pytest
+    from ntpoly_tpu import native
+
+    if not native.available():
+        _pytest.skip("native library unavailable")
+    z = np.zeros(1, np.int64)
+    with _pytest.raises(ValueError, match="2\\^21"):
+        native.fill_blocks(z, z, np.zeros(1, np.float32),
+                           bs=128, nb=1 << 21, pnb=1 << 21)

@@ -22,17 +22,55 @@ import numpy as _np
 from ..parallel import algebra as alg
 from .common import (resolve, solver_log, iteration_log, finish_iterations,
                      orthogonalize, deorthogonalize, maybe_permute,
-                     maybe_unpermute, identity_like, real_scalar)
+                     maybe_unpermute, identity_like, real_scalar,
+                     prologue_scalars)
 from .parameters import SolverParameters
 
 
 @_jax.jit
 def _trs4_scalars_jit(a, b):
-    """[dot(A, B), dot(A, A), trace(A)] stacked — ONE readback instead of
-    three tunnel round trips (25-80 ms each) per eager TRS4 iteration."""
+    """[dot(A, B), dot(A, A), trace(A), trace(B)] stacked — ONE readback
+    instead of four tunnel round trips (25-80 ms each) per eager TRS4
+    iteration.  trace(B) (= trace of the iterate) feeds the idempotency
+    convergence metric."""
     return _jnp.stack([_jnp.real(alg.dot(a, b)),
                        _jnp.real(alg.dot(a, a)),
-                       _jnp.real(alg.trace(a))])
+                       _jnp.real(alg.trace(a)),
+                       _jnp.real(alg.trace(b))])
+
+
+def _metric(params) -> str:
+    """Resolve SolverParameters.convergence_metric ('auto': energy-diff
+    parity at full precision, the noise-robust idempotency residual for
+    the reduced-precision tiers — see parameters.py)."""
+    if params.convergence_metric == "auto":
+        return "idempotency" if params.precision != "highest" else "energy"
+    return params.convergence_metric
+
+
+def _chunk_conv(params, row_transform_extra=None):
+    """(conv_index, conv_mode, row_transform) for a purification chunked
+    run whose RAW step rows are (energy, sigma, idem) or, compensated,
+    (e_hi, e_lo, sigma, idem) — transformed rows are always
+    (energy, sigma, idem)."""
+    metric = _metric(params)
+    if params.compensated_scalars:
+        def row_transform(row):
+            return (row[0] + row[1],) + tuple(row[2:])
+    else:
+        row_transform = None
+    if metric == "idempotency":
+        return 2, "value", row_transform
+    return 0, "diff", row_transform
+
+
+def _step_energy(x_new, whc, compensated):
+    """Energy scalars of a purification step: a 1-tuple (plain f32) or
+    an (hi, lo) 2-tuple resolved to ~eps^2 (host combines in float64)."""
+    if compensated:
+        pair = alg.dot_pair(x_new, whc)
+        return (pair[0], pair[1])
+    return (_jnp.real(alg.dot(x_new, whc)),)
 
 
 def _bisect_chemical_potential(replay, total_iterations, params):
@@ -65,10 +103,8 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
         imat = identity_like(h)
         wh, isqt = orthogonalize(h, isq, params)
         wh, imat = maybe_permute(params, wh, imat)
-        e_min, e_max = alg.gershgorin_bounds(wh)
-        e_min, e_max = float(e_min), float(e_max)
-
-        lam = real_scalar(alg.trace(wh)) / n
+        e_min, e_max, tr_wh = prologue_scalars(wh)
+        lam = tr_wh / n
         alpha = min(trace / (e_max - lam), (n - trace) / (lam - e_min))
         x = alg.increment(wh, imat, alpha=-alpha / n,
                           beta=(alpha * lam + trace) / n)
@@ -76,7 +112,7 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
         if params.iters_per_sync > 1:
             with iteration_log(params) as ilog:
                 x, history, total_1b = _pm_chunked(
-                    x, wh, imat, params, monitor, ilog)
+                    x, wh, imat, trace, params, monitor, ilog)
             energy = history[-1][0]
             sigmas = [row[1] for row in history]
             total = total_1b - 1
@@ -100,14 +136,16 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
                         a1 = (1.0 - 2.0 * sigma) / (1.0 - sigma)
                         a2 = (1.0 + sigma) / (1.0 - sigma)
                         a3 = -1.0 / (1.0 - sigma)
-                    x = alg.increment(
-                        alg.increment(x, x2, a1, a2,
-                                      threshold=params.threshold),
-                        x3, 1.0, a3, threshold=params.threshold)
+                    x = alg.increment_n(
+                        (x, x2, x3), (a1, a2, a3),
+                        threshold=params.threshold)
                     energy_old = energy
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
-                    monitor.append(energy - energy_old)
+                    if _metric(params) == "idempotency":
+                        monitor.append(tv / trace)
+                    else:
+                        monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
@@ -139,8 +177,7 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
         imat = identity_like(h)
         wh, isqt = orthogonalize(h, isq, params)
         wh, imat = maybe_permute(params, wh, imat)
-        e_min, e_max = alg.gershgorin_bounds(wh)
-        e_min, e_max = float(e_min), float(e_max)
+        e_min, e_max, _ = prologue_scalars(wh)
 
         # X0 = (e_max I - WH) / (e_max - e_min)
         x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
@@ -162,6 +199,9 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
                     sigma = -1.0 if trace - tv < 0.0 else 1.0
                     sigmas.append(sigma)
                     x2 = alg.matmul(x, x, threshold=params.threshold)
+                    idem = None
+                    if _metric(params) == "idempotency":
+                        idem = (tv - real_scalar(alg.trace(x2))) / trace
                     if sigma > 0.0:
                         x = alg.increment(x, x2, 2.0, -1.0,
                                           threshold=params.threshold)
@@ -170,7 +210,8 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
                     energy_old = energy
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
-                    monitor.append(energy - energy_old)
+                    monitor.append(idem if idem is not None
+                                   else energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
@@ -206,7 +247,7 @@ def _pin_capacity(params, *mats, n_carry: int = 1):
                         ) + mats[n_carry:]
 
 
-def _pm_chunked(x, wh, imat, params, monitor, ilog):
+def _pm_chunked(x, wh, imat, trace, params, monitor, ilog):
     """PM fused iterations (see _trs4_chunked): the sigma branch picks
     traced polynomial coefficients via jnp.where."""
     import jax.numpy as jnp
@@ -214,6 +255,8 @@ def _pm_chunked(x, wh, imat, params, monitor, ilog):
 
     thr = params.threshold
     k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
+    comp = params.compensated_scalars
+    conv_index, conv_mode, row_transform = _chunk_conv(params)
 
     def step(xc, whc, imatc):
         x2 = alg.matmul(xc, xc, threshold=thr)
@@ -228,24 +271,29 @@ def _pm_chunked(x, wh, imat, params, monitor, ilog):
         a2 = jnp.where(hi, 1.0 + 1.0 / sigma,
                        (1.0 + sigma) / (1.0 - sigma))
         a3 = jnp.where(hi, -1.0 / sigma, -1.0 / (1.0 - sigma))
-        x_new = alg.increment(
-            alg.increment(xc, x2, a1, a2, threshold=thr),
-            x3, 1.0, a3, threshold=thr)
-        energy = jnp.real(alg.dot(x_new, whc))
-        return x_new, (energy, sigma)
+        x_new = alg.increment_n((xc, x2, x3), (a1, a2, a3),
+                                threshold=thr)
+        # tv IS tr(X - X^2): the idempotency residual of the incoming
+        # iterate, already in hand
+        idem = tv / trace
+        return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
                        k_pin=k_pin, aux_names=("Energy Value",),
-                       cache_key=("pm", thr))
+                       conv_index=conv_index, conv_mode=conv_mode,
+                       row_transform=row_transform,
+                       cache_key=("pm", thr, float(trace), comp))
 
 
-def _hpcp_chunked(d1, wh, imat, params, monitor, ilog):
+def _hpcp_chunked(d1, wh, imat, trace, params, monitor, ilog):
     """HPCP fused iterations (see _trs4_chunked)."""
     import jax.numpy as jnp
     from .common import run_chunked
 
     thr = params.threshold
     k_pin, (d1, whp, imatp) = _pin_capacity(params, d1, wh, imat)
+    comp = params.compensated_scalars
+    conv_index, conv_mode, row_transform = _chunk_conv(params)
 
     def step(dc, whc, imatc):
         dh = alg.increment(imatc, dc, 1.0, -1.0, threshold=thr)
@@ -255,37 +303,47 @@ def _hpcp_chunked(d1, wh, imat, params, monitor, ilog):
         s = jnp.where(tv == 0, 0.0,
                       jnp.real(alg.trace(d2dh))
                       / jnp.where(tv == 0, 1.0, tv))
-        d_new = alg.increment(
-            alg.increment(dc, d2dh, 1.0, 2.0, threshold=thr),
-            ddh, 1.0, -2.0 * s, threshold=thr)
-        energy = jnp.real(alg.dot(d_new, whc))
-        return d_new, (energy, s)
+        d_new = alg.increment_n((dc, d2dh, ddh), (1.0, 2.0, -2.0 * s),
+                                threshold=thr)
+        # tv IS tr(D(I - D)): the incoming iterate's idempotency residual
+        idem = tv / trace
+        return d_new, _step_energy(d_new, whc, comp) + (s, idem)
 
     return run_chunked(step, d1, (whp, imatp), params, monitor, ilog,
                        k_pin=k_pin, aux_names=("Energy Value",),
-                       cache_key=("hpcp", thr))
+                       conv_index=conv_index, conv_mode=conv_mode,
+                       row_transform=row_transform,
+                       cache_key=("hpcp", thr, float(trace), comp))
 
 
 def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
     """TRS2 fused iterations (see _trs4_chunked)."""
     import jax.numpy as jnp
-    from .common import run_chunked, select_matrix
+    from .common import run_chunked
 
     thr = params.threshold
     k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
+    comp = params.compensated_scalars
+    conv_index, conv_mode, row_transform = _chunk_conv(params)
 
     def step(xc, whc, imatc):
         tv = jnp.real(alg.trace(xc))
         sigma = jnp.where(trace - tv < 0.0, -1.0, 1.0)
         x2 = alg.matmul(xc, xc, threshold=thr)
-        x_hi = alg.increment(xc, x2, 2.0, -1.0, threshold=thr)
-        x_new = select_matrix(sigma > 0.0, x_hi, x2)
-        energy = jnp.real(alg.dot(x_new, whc))
-        return x_new, (energy, sigma)
+        t2 = jnp.real(alg.trace(x2))
+        # the sigma branch as scalar-selected coefficients in ONE fused
+        # merge — x_hi is never materialized (see _trs4_chunked)
+        ca = jnp.where(sigma > 0.0, 2.0, 0.0)
+        cb = jnp.where(sigma > 0.0, -1.0, 1.0)
+        x_new = alg.increment_n((xc, x2), (ca, cb), threshold=thr)
+        idem = (tv - t2) / trace
+        return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
                        k_pin=k_pin, aux_names=("Energy Value",),
-                       cache_key=("trs2", thr, float(trace)))
+                       conv_index=conv_index, conv_mode=conv_mode,
+                       row_transform=row_transform,
+                       cache_key=("trs2", thr, float(trace), comp))
 
 
 def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
@@ -300,9 +358,8 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
 
     thr = params.threshold
     k_pin, (x, whp, imatp) = _pin_capacity(params, x, wh, imat)
-
-    def inc(a, b, alpha, beta):
-        return alg.increment(a, b, alpha, beta, threshold=thr)
+    comp = params.compensated_scalars
+    conv_index, conv_mode, row_transform = _chunk_conv(params)
 
     def step(xc, whc, imatc):
         # fx = 4X - 3X^2 and gx = I - 2X + X^2 are never materialized:
@@ -312,18 +369,22 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         # bench shape) and two fewer increments (the reference holds F
         # and G explicitly, DensityMatrixSolversModule.F90:587-625)
         x2 = alg.matmul(xc, xc, threshold=thr)
-        d1 = jnp.real(alg.dot(x2, xc))
-        d2 = jnp.real(alg.dot(x2, x2))
-        t2 = jnp.real(alg.trace(x2))
+        d1, d2, t2, tx = _trs4_scalars_jit(x2, xc)
         trace_fx = 4.0 * d1 - 3.0 * d2
         trace_gx = t2 - 2.0 * d1 + d2
         sigma = jnp.where(jnp.abs(trace_gx) < 1e-14,
                           0.5 * (sigma_max - sigma_min),
                           (trace - trace_fx) / trace_gx)
         # x2's table is the widest (its candidates cover x's and the
-        # diagonal), so it leads every aligned add
-        poly = inc(inc(x2, xc, sigma - 3.0, 4.0 - 2.0 * sigma),
-                   imatc, 1.0, sigma)
+        # diagonal), so it leads every aligned add.  Both three-term
+        # combinations are SINGLE fused merges (increment_n): the
+        # two-op chain materialized one extra full-capacity matrix per
+        # link — the structural gap between the eager loop's HBM peak
+        # and the r4 chunk program's (19.3 GB vs 15.75 available at
+        # the 2^20-row shape).
+        poly = alg.increment_n(
+            (x2, xc, imatc), (sigma - 3.0, 4.0 - 2.0 * sigma, sigma),
+            threshold=thr)
         x_mid = alg.matmul(x2, poly, threshold=thr)
         # The sigma clamps as scalar-selected coefficients instead of
         # whole-matrix selects: x_new = a*X + b*X^2 + c*(X^2 poly) with
@@ -335,14 +396,21 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         ca = jnp.where(hi, 2.0, 0.0)
         cb = jnp.where(hi, -1.0, jnp.where(lo, 1.0, 0.0))
         cc = jnp.where(hi | lo, 0.0, 1.0)
-        x_new = inc(inc(x2, xc, cb, ca), x_mid, 1.0, cc)
-        energy = jnp.real(alg.dot(x_new, whc))
-        return x_new, (energy, sigma)
+        x_new = alg.increment_n((x2, xc, x_mid), (cb, ca, cc),
+                                threshold=thr)
+        # idempotency residual of the INCOMING iterate (tr X - tr X^2,
+        # both already in hand), per electron — lags the new iterate by
+        # one step, which only delays the plateau detection by one
+        # iteration
+        idem = (tx - t2) / trace
+        return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
                        k_pin=k_pin, aux_names=("Energy Value",),
+                       conv_index=conv_index, conv_mode=conv_mode,
+                       row_transform=row_transform,
                        cache_key=("trs4", thr, float(trace), sigma_min,
-                                  sigma_max))
+                                  sigma_max, comp))
 
 
 def trs4(h, isq, trace, params: SolverParameters | None = None):
@@ -356,8 +424,7 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
         imat = identity_like(h)
         wh, isqt = orthogonalize(h, isq, params)
         wh, imat = maybe_permute(params, wh, imat)
-        e_min, e_max = alg.gershgorin_bounds(wh)
-        e_min, e_max = float(e_min), float(e_max)
+        e_min, e_max, _ = prologue_scalars(wh)
 
         x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
                           beta=e_max / (e_max - e_min))
@@ -373,6 +440,8 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
         else:
             energy = 0.0
             total = 0
+            metric = _metric(params)
+            comp = params.compensated_scalars
             with iteration_log(params) as ilog:
                 for ii in range(params.max_iterations):
                     # frugal form (see _trs4_chunked): fx/gx are never
@@ -382,7 +451,7 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                     # bench shape that is the difference between
                     # fitting HBM and not
                     x2 = alg.matmul(x, x, threshold=params.threshold)
-                    d1, d2, t2 = [
+                    d1, d2, t2, tx = [
                         float(v)
                         for v in _np.asarray(_trs4_scalars_jit(x2, x))]
                     trace_fx = 4.0 * d1 - 3.0 * d2
@@ -398,11 +467,11 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                     elif sigma < sigma_min:
                         x = x2
                     else:
-                        poly = alg.increment(
-                            alg.increment(x2, x, sigma - 3.0,
-                                          4.0 - 2.0 * sigma,
-                                          threshold=params.threshold),
-                            imat, 1.0, sigma,
+                        # ONE fused three-term merge (increment_n) for
+                        # the polynomial; X freed before the multiply
+                        poly = alg.increment_n(
+                            (x2, x, imat),
+                            (sigma - 3.0, 4.0 - 2.0 * sigma, sigma),
                             threshold=params.threshold)
                         del x                # free before the multiply
                         x = alg.matmul(x2, poly,
@@ -410,9 +479,15 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                         del poly
                     del x2
                     energy_old = energy
-                    energy = real_scalar(alg.dot(x, wh))
+                    if comp:
+                        energy = alg.host_pair(alg.dot_pair(x, wh))
+                    else:
+                        energy = real_scalar(alg.dot(x, wh))
                     total = ii
-                    monitor.append(energy - energy_old)
+                    if metric == "idempotency":
+                        monitor.append((tx - t2) / trace)
+                    else:
+                        monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
@@ -448,10 +523,8 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
         imat = identity_like(h)
         wh, isqt = orthogonalize(h, isq, params)
         wh, imat = maybe_permute(params, wh, imat)
-        e_min, e_max = alg.gershgorin_bounds(wh)
-        e_min, e_max = float(e_min), float(e_max)
-
-        mu_bar = real_scalar(alg.trace(wh)) / n
+        e_min, e_max, tr_wh = prologue_scalars(wh)
+        mu_bar = tr_wh / n
         sigma_bar = (n - trace) / n
         sigma = 1.0 - sigma_bar
         beta = sigma / (e_max - mu_bar)
@@ -466,7 +539,7 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
         if params.iters_per_sync > 1:
             with iteration_log(params) as ilog:
                 d1, history, total_1b = _hpcp_chunked(
-                    d1, wh, imat, params, monitor, ilog)
+                    d1, wh, imat, trace, params, monitor, ilog)
             energy = history[-1][0]
             sigmas = [row[1] for row in history]
             total = total_1b - 1
@@ -483,14 +556,16 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
                     s = real_scalar(alg.trace(d2dh)) / tv if tv != 0 \
                         else 0.0
                     sigmas.append(s)
-                    d1 = alg.increment(
-                        alg.increment(d1, d2dh, 1.0, 2.0,
-                                      threshold=params.threshold),
-                        ddh, 1.0, -2.0 * s, threshold=params.threshold)
+                    d1 = alg.increment_n(
+                        (d1, d2dh, ddh), (1.0, 2.0, -2.0 * s),
+                        threshold=params.threshold)
                     energy_old = energy
                     energy = real_scalar(alg.dot(d1, wh))
                     total = ii
-                    monitor.append(energy - energy_old)
+                    if _metric(params) == "idempotency":
+                        monitor.append(tv / trace)
+                    else:
+                        monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
                         break
@@ -521,8 +596,7 @@ def scale_and_fold(h, isq, trace, homo, lumo,
         imat = identity_like(h)
         wh, isqt = orthogonalize(h, isq, params)
         wh, imat = maybe_permute(params, wh, imat)
-        e_min, e_max = alg.gershgorin_bounds(wh)
-        e_min, e_max = float(e_min), float(e_max)
+        e_min, e_max, _ = prologue_scalars(wh)
 
         x = alg.increment(wh, imat, alpha=-1.0 / (e_max - e_min),
                           beta=e_max / (e_max - e_min))

@@ -140,10 +140,23 @@ def compute_logarithm(mat, params: SolverParameters | None = None):
         psub = params.copy()
         psub.max_iterations = 16
         spectral_radius = power_bounds(mat, psub)
+        # The Chebyshev fit of log(1+x) is valid on the window the
+        # 2^k-th root must land the WHOLE spectrum in: [1/sqrt(2),
+        # sqrt(2)].  Driving only the radius below sqrt(2) (the
+        # reference's rule, ExponentialSolversModule.F90:460-500) leaves
+        # a small lowest eigenvalue BELOW the window — measured 4.4%
+        # oracle error on the graph-Laplacian bench whose exp has
+        # eigenvalues in [0.37, 1].  When a positive lower bound is
+        # available (Gershgorin), keep rooting until both edges fit.
+        lo_bound, _ = alg.gershgorin_bounds(mat)
+        lo_bound = float(lo_bound)
         sigma = 1
         counter = 1
-        while spectral_radius > math.sqrt(2.0):
+        while (spectral_radius > math.sqrt(2.0)
+               or (0.0 < lo_bound < 1.0 / math.sqrt(2.0))):
             spectral_radius = math.sqrt(spectral_radius)
+            if lo_bound > 0.0:
+                lo_bound = math.sqrt(lo_bound)
             sigma *= 2
             counter += 1
         fsub = params.copy()

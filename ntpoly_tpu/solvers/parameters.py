@@ -120,6 +120,25 @@ class SolverParameters:
     # 'high' (3 passes, ~2x MXU throughput, ~1e-6 relative dot error —
     # an opt-in speed knob for threshold >= 1e-5 workloads).
     precision: str = "highest"
+    # Convergence functional for the purification solvers (PM / TRS2 /
+    # TRS4 / HPCP).  'energy' = successive energy differences (exact
+    # reference parity, DensityMatrixSolversModule.F90:192-197);
+    # 'idempotency' = the per-electron idempotency residual
+    # (tr(X) - tr(X^2)) / nel, monitored as a value.  The residual
+    # decays quadratically and then PLATEAUS at the arithmetic floor,
+    # where the windowed automatic monitor fires deterministically —
+    # energy differences instead wander in the reduced-precision noise
+    # (precision='high' cost trs4_10k 23 iterations vs 8 in r4).
+    # 'auto' (default): 'energy' at precision='highest', 'idempotency'
+    # otherwise.
+    convergence_metric: str = "auto"
+    # Compensated (two-float) scalar reductions for the monitor scalars
+    # and reported energy: f32 quantizes an |E|~1e5 energy at ~0.01
+    # absolute, so converge_diff below that is uncertifiable at the
+    # 2^20-row scale without this.  The matmul stream stays f32; only
+    # trace/dot feeding sigma, the monitor, and the energy pay the ~4
+    # extra VPU passes (core/bell.py comp_sum).
+    compensated_scalars: bool = False
     # SpGEMM dispatch override (None = measured auto gates).  The main
     # production value is 'pallas_band': compile ONLY the windowed band
     # kernel for workloads known to stay banded — the auto dispatch's

@@ -56,6 +56,9 @@ PM.fill_from_triplets = lambda *a, **k: (host_calls.append("fill"),
 big = PM.resize(m, 96)
 small = PM.resize(m, 40)
 sl = PM.get_slice(m, 16, 48, 8, 40)
+# UNALIGNED slice (r4 residual CLOSED): intra-block offsets ride the
+# static sub-block shift expansion — still no host round trip
+slu = PM.get_slice(m, 13, 47, 5, 39)
 assert host_calls == [], f"host fallback fired: {host_calls}"
 
 # set_grid MAY fall back (cross-mesh transfer support is runtime
@@ -80,12 +83,15 @@ def gathered(mat):
 db = gathered(big)
 ds = gathered(small)
 dsl = gathered(sl)
+dslu = gathered(slu)
 dg = gathered(regrid)
 ref_big = np.zeros((96, 96))
 ref_big[:dim, :dim] = dense
 assert np.abs(db - ref_big).max() < 1e-14, "resize-grow wrong"
 assert np.abs(ds - dense[:40, :40]).max() < 1e-14, "resize-crop wrong"
 assert np.abs(dsl - dense[16:48, 8:40]).max() < 1e-14, "slice wrong"
+assert np.abs(dslu - dense[13:47, 5:39]).max() < 1e-14, \
+    "unaligned slice wrong"
 assert np.abs(dg - dense).max() < 1e-14, "set_grid wrong"
 
 print(f"STRUCTOPS_OK {pid}", flush=True)

@@ -105,3 +105,21 @@ def test_col_abs_sums(rng):
     ac, ab = bell.from_dense(jnp.asarray(a), bs=2, k=4)
     cs = bell.col_abs_sums(ac, ab, 4)
     assert np.allclose(np.asarray(cs).reshape(-1), np.abs(a).sum(axis=0))
+
+
+def test_comp_sum_f64_grade(rng):
+    """comp_sum (two-float pairwise reduction) resolves an f32 sum to
+    ~eps^2 relative — certified against a float64 oracle (the basis of
+    the compensated energy-trace tolerance claims in bench trs4_1m)."""
+    x64 = jnp.zeros(0).dtype == np.float64
+    n = 1_000_003
+    x = (rng.standard_normal(n) * 1e3 + 0.7).astype(np.float32)
+    ref = np.sum(x.astype(np.float64))
+    pair = np.asarray(bell.comp_sum(jnp.asarray(x)), np.float64)
+    comp = pair[0] + pair[1]
+    plain = float(jnp.sum(jnp.asarray(x)))
+    assert abs(comp - ref) <= 1e-10 * abs(ref) + 1e-9
+    if not x64:
+        # and it must beat the plain f32 sum by orders of magnitude
+        assert abs(comp - ref) < 1e-4 * max(abs(plain - ref), 1e-30) \
+            or abs(plain - ref) < 1e-9

@@ -193,3 +193,42 @@ def test_precision_knob_plumbing(rng):
     r1, e1, _ = density.trs4(hm, isq, float(DIM // 2), p_hi)
     r2, e2, _ = density.trs4(hm, isq, float(DIM // 2), p_fast)
     assert abs(float(e1) - float(e2)) < 1e-8 * abs(float(e1))
+
+
+@pytest.mark.parametrize("solver", ["trs2", "trs4", "pm", "hpcp"])
+@pytest.mark.parametrize("ips", [1, 5])
+def test_idempotency_metric_converges(rng, grid, solver, ips):
+    """VERDICT r4 next #3: the noise-robust idempotency convergence
+    functional lands on the same density as the energy-diff monitor, in
+    both eager and chunked modes."""
+    hm, _, h, _ = _system(rng, grid)
+    isq = PM.identity(DIM, bs=BS, dtype=hm.dtype, grid=grid)
+    fn = getattr(density, solver)
+    p_e = params(ips)
+    p_i = params(ips)
+    p_i.convergence_metric = "idempotency"
+    r_e, e_e, _ = fn(hm, isq, float(DIM // 2), p_e)
+    r_i, e_i, _ = fn(hm, isq, float(DIM // 2), p_i)
+    assert abs(float(e_e) - float(e_i)) < 1e-6 * abs(float(e_e))
+    assert rel_error(np.asarray(PM.to_dense(r_i)),
+                     np.asarray(PM.to_dense(r_e))) < 1e-6
+    # the density really is idempotent at convergence
+    d = np.asarray(PM.to_dense(r_i))
+    assert np.linalg.norm(d @ d - d) / np.linalg.norm(d) < 1e-5
+
+
+@pytest.mark.parametrize("ips", [1, 5])
+def test_compensated_scalars_solve(rng, grid, ips):
+    """VERDICT r4 next #7: compensated (two-float) monitor scalars give
+    the same converged result, with the energy combined in float64."""
+    hm, _, h, _ = _system(rng, grid)
+    isq = PM.identity(DIM, bs=BS, dtype=hm.dtype, grid=grid)
+    p_c = params(ips)
+    p_c.compensated_scalars = True
+    r_c, e_c, mu_c = density.trs4(hm, isq, float(DIM // 2), p_c)
+    r_p, e_p, _ = density.trs4(hm, isq, float(DIM // 2), params(ips))
+    assert abs(float(e_c) - float(e_p)) < 1e-6 * abs(float(e_p))
+    assert rel_error(np.asarray(PM.to_dense(r_c)),
+                     np.asarray(PM.to_dense(r_p))) < 1e-8
+    w = np.linalg.eigh(h)[0]
+    assert abs(float(e_c) - w[:DIM // 2].sum()) < 1e-6 * abs(e_c)

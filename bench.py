@@ -218,7 +218,7 @@ def bench_spgemm(grid, on_cpu):
     nnz = 2 * int(h.nnz) + int(c.nnz)
     value = nnz / dt
     _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9, method=method,
-          ms_per_multiply=dt * 1e3)
+          precision="high (default)", ms_per_multiply=dt * 1e3)
     try:
         _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value,
                       method, dt)
@@ -233,9 +233,11 @@ def _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value, method,
     import jax.numpy as jnp
     from ntpoly_tpu.parallel import algebra as alg
     if not on_cpu:
-        # secondaries: the opt-in 3-pass MXU mode (precision='high') and
+        # secondaries: the opt-in exact tier (precision='highest') and
         # the bf16-quantized single-pass tier (precision='bf16', the r3
-        # VERDICT traffic-halving prototype)
+        # VERDICT traffic-halving prototype).  The HEADLINE measures the
+        # DEFAULT path — precision='high' since r5, with solver-level
+        # iteration/oracle evidence on the trs4_10k line.
         def chain_fast(n, prec):
             @jax.jit
             def chain(x):
@@ -252,8 +254,8 @@ def _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value, method,
             return chain
 
         c_hi = alg.matmul(h, h, threshold=threshold, k_out=k_out,
-                          on_overflow="truncate")
-        for prec, metric in (("high", "spgemm_nnz_per_s_f32x3"),
+                          on_overflow="truncate", precision="highest")
+        for prec, metric in (("highest", "spgemm_nnz_per_s_highest"),
                              ("bf16", "spgemm_nnz_per_s_bf16")):
             tf = {}
             for n in (reps, 3 * reps):
@@ -275,10 +277,11 @@ def _spgemm_f32x3(on_cpu, h, k_out, threshold, reps, nnz, value, method,
                   nnz / dtf / 1e9, method=method, precision=prec,
                   ms_per_multiply=dtf * 1e3,
                   max_rel_err_vs_highest=num / den)
-        # re-emit the full-precision headline LAST (driver parses the
+        # re-emit the default-path headline LAST (driver parses the
         # final JSON line)
         _emit("spgemm_nnz_per_s", value, "nnz/s", value / 1e9,
-              method=method, ms_per_multiply=dt * 1e3)
+              method=method, precision="high (default)",
+              ms_per_multiply=dt * 1e3)
 
 
 def bench_hotelling(grid, on_cpu):
@@ -373,16 +376,20 @@ def bench_trs4(grid, on_cpu):
             print(f"# iteration slope failed: {type(e).__name__}",
                   file=sys.stderr)
     _emit("trs4_10k_wall_s", wall, "s", method=method, iterations=iters,
+          precision="high (default)",
           s_per_iteration=(wall / iters) if iters else None,
           compute_s_per_iteration=comp,
           oracle_rel_err=err)
-    # r3 VERDICT weak #1: the 3-pass MXU mode validated at SOLVER level —
-    # same iterations-to-tolerance and oracle error, or it stays opt-in
+    # The DEFAULT path is precision='high' since r5 (the primary line
+    # above measures it, with its iteration count and oracle error
+    # attached — the solver-level evidence VERDICT r4 next #3 asks
+    # for).  The exact tier stays measured as a secondary so the
+    # iteration-count delta (plateau monitor lag, +1) is on record.
     if not on_cpu:
         ph = params.copy()
-        ph.precision = "high"
+        ph.precision = "highest"
         _sync(density.trs4(h, isq, float(nel), ph)[0])   # warm
-        log2 = os.path.join(tempfile.mkdtemp(), "log_high.yaml")
+        log2 = os.path.join(tempfile.mkdtemp(), "log_highest.yaml")
         activate_logger(log2)
         t0 = time.perf_counter()
         rho_h, _, _ = density.trs4(h, isq, float(nel), ph)
@@ -390,8 +397,8 @@ def bench_trs4(grid, on_cpu):
         wall_h = time.perf_counter() - t0
         deactivate_logger()
         iters_h, _ = _solve_stats(log2)
-        _emit("trs4_10k_high_wall_s", wall_h, "s", method=method,
-              precision="high", iterations=iters_h,
+        _emit("trs4_10k_highest_wall_s", wall_h, "s", method=method,
+              precision="highest", iterations=iters_h,
               s_per_iteration=(wall_h / iters_h) if iters_h else None,
               oracle_rel_err=_oracle_rel_err(rho_h, rho_ref))
 
@@ -582,9 +589,12 @@ def bench_trs4_1m(grid, on_cpu):
     # tests/test_bell.py), so converge_diff=1e-3 is certifiable: the
     # monitor sees real f64-grade energy differences, not quantization
     # noise (VERDICT r4 next #7; BASELINE config 5's 1e-6-spirit).
+    # convergence_metric='energy' pinned: the converge_diff=1e-3 claim
+    # IS an energy statement, certified by the compensated trace
     params = SolverParameters(converge_diff=1e-3, threshold=1e-7,
                               iters_per_sync=1,
                               compensated_scalars=True,
+                              convergence_metric="energy",
                               k_out=10 if on_cpu else 5,
                               matmul_method=None if on_cpu
                               else "pallas_band",

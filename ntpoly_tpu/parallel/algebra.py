@@ -334,7 +334,10 @@ def matmul(a: PSMatrix, b: PSMatrix, alpha=1.0, beta=0.0,
                  or max(1, min(8, a.nb // a.grid.rows)))
     wt = threshold / (s * 1000.0) if s > 1 else threshold
     dt = jnp.result_type(a.dtype, b.dtype)
-    precision = precision or _policy_get("precision") or "highest"
+    # default 'high' (3-pass MXU split) since r5 — solver-level evidence
+    # in BENCH_r05 (trs4_10k: 10 iterations, oracle 1.4e-5 <= the 1e-4
+    # bar); 'highest' stays the opt-in exact tier
+    precision = precision or _policy_get("precision") or "high"
     requested = method
     grow = on_overflow == "grow"
     collector = _policy_get("collect")

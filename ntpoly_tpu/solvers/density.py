@@ -96,6 +96,7 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
     """Palser-Manolopoulos canonical purification (palser1998canonical;
     reference DensityMatrixSolversModule.F90:37-281)."""
     params, monitor = resolve(params)
+    monitor.plateau = _metric(params) == "idempotency"
     sigmas = []
     with solver_log(params, "Density Matrix Solver", "PM",
                     ("palser1998canonical",)):
@@ -143,7 +144,7 @@ def pm(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
                     if _metric(params) == "idempotency":
-                        monitor.append(tv / trace)
+                        monitor.append(abs(tv) / trace)
                     else:
                         monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
@@ -171,6 +172,7 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
     """2nd-order trace-resetting purification (niklasson2002expansion;
     reference DensityMatrixSolversModule.F90:285-481)."""
     params, monitor = resolve(params)
+    monitor.plateau = _metric(params) == "idempotency"
     sigmas = []
     with solver_log(params, "Density Matrix Solver", "TRS2",
                     ("niklasson2002expansion",)):
@@ -210,7 +212,7 @@ def trs2(h, isq, trace, params: SolverParameters | None = None):
                     energy_old = energy
                     energy = real_scalar(alg.dot(x, wh))
                     total = ii
-                    monitor.append(idem if idem is not None
+                    monitor.append(abs(idem) if idem is not None
                                    else energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
                     if monitor.check_converged(params.be_verbose):
@@ -275,7 +277,7 @@ def _pm_chunked(x, wh, imat, trace, params, monitor, ilog):
                                 threshold=thr)
         # tv IS tr(X - X^2): the idempotency residual of the incoming
         # iterate, already in hand
-        idem = tv / trace
+        idem = jnp.abs(tv) / trace
         return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
@@ -306,7 +308,7 @@ def _hpcp_chunked(d1, wh, imat, trace, params, monitor, ilog):
         d_new = alg.increment_n((dc, d2dh, ddh), (1.0, 2.0, -2.0 * s),
                                 threshold=thr)
         # tv IS tr(D(I - D)): the incoming iterate's idempotency residual
-        idem = tv / trace
+        idem = jnp.abs(tv) / trace
         return d_new, _step_energy(d_new, whc, comp) + (s, idem)
 
     return run_chunked(step, d1, (whp, imatp), params, monitor, ilog,
@@ -336,7 +338,7 @@ def _trs2_chunked(x, wh, imat, trace, params, monitor, ilog):
         ca = jnp.where(sigma > 0.0, 2.0, 0.0)
         cb = jnp.where(sigma > 0.0, -1.0, 1.0)
         x_new = alg.increment_n((xc, x2), (ca, cb), threshold=thr)
-        idem = (tv - t2) / trace
+        idem = jnp.abs(tv - t2) / trace
         return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
@@ -402,7 +404,7 @@ def _trs4_chunked(x, wh, imat, trace, params, monitor, ilog,
         # both already in hand), per electron — lags the new iterate by
         # one step, which only delays the plateau detection by one
         # iteration
-        idem = (tx - t2) / trace
+        idem = jnp.abs(tx - t2) / trace
         return x_new, _step_energy(x_new, whc, comp) + (sigma, idem)
 
     return run_chunked(step, x, (whp, imatp), params, monitor, ilog,
@@ -417,6 +419,7 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
     """4th-order trace-resetting purification (niklasson2002expansion;
     reference DensityMatrixSolversModule.F90:485-718)."""
     params, monitor = resolve(params)
+    monitor.plateau = _metric(params) == "idempotency"
     sigma_min, sigma_max = 0.0, 6.0
     sigmas = []
     with solver_log(params, "Density Matrix Solver", "TRS4",
@@ -485,7 +488,7 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                         energy = real_scalar(alg.dot(x, wh))
                     total = ii
                     if metric == "idempotency":
-                        monitor.append((tx - t2) / trace)
+                        monitor.append(abs(tx - t2) / trace)
                     else:
                         monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})
@@ -516,6 +519,7 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
     """Hole-particle canonical purification (truflandier2016communication;
     reference DensityMatrixSolversModule.F90:720-952)."""
     params, monitor = resolve(params)
+    monitor.plateau = _metric(params) == "idempotency"
     sigmas = []
     with solver_log(params, "Density Matrix Solver", "HPCP",
                     ("truflandier2016communication",)):
@@ -563,7 +567,7 @@ def hpcp(h, isq, trace, params: SolverParameters | None = None):
                     energy = real_scalar(alg.dot(d1, wh))
                     total = ii
                     if _metric(params) == "idempotency":
-                        monitor.append(tv / trace)
+                        monitor.append(abs(tv) / trace)
                     else:
                         monitor.append(energy - energy_old)
                     ilog.step(**{"Energy Value": energy})

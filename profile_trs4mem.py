@@ -44,7 +44,8 @@ def main():
     for ips in args.ips:
         params = SolverParameters(
             converge_diff=1e-3, threshold=1e-7, iters_per_sync=ips,
-            compensated_scalars=True, k_out=args.k_out,
+            compensated_scalars=True, convergence_metric="energy",
+            k_out=args.k_out,
             matmul_method="pallas_band", on_overflow="warn",
             max_iterations=args.iters)
         try:

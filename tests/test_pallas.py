@@ -374,11 +374,12 @@ def test_band_mode_violation_raises(rng, monkeypatch):
                        on_overflow=mode)
 
 
-def test_band_mode_force_rejected_shape_raises(rng):
+def test_band_mode_force_rejected_shape_warns(rng):
     """ADVICE r4: band_mode='force' on a shape outside the band kernel's
-    regime must raise at trace time (the promised band-only compile is
-    impossible), never silently fall through to the chunked kernel."""
-    import pytest as _pytest
+    regime must WARN (no silent fallthrough) — the single-arm promise is
+    kept by compiling only the chunked kernel, and the result stays
+    correct."""
+    import warnings as _warnings
     from ntpoly_tpu.ops import spgemm_pallas as sp
 
     # NB: shape must differ from every other force-mode test in this
@@ -390,10 +391,17 @@ def test_band_mode_force_rejected_shape_raises(rng):
         np.int32)
     ac = np.where(ac < R, ac, EMPTY)
     ab = rng.standard_normal((R, K, bs, bs)).astype(np.float32)
-    with _pytest.raises(ValueError, match="regime"):
-        sp.spgemm_pallas(jnp.asarray(ac), jnp.asarray(ab),
-                         jnp.asarray(ac), jnp.asarray(ab),
-                         k_out=8, interpret=True, band_mode="force")
+    with _warnings.catch_warnings(record=True) as got:
+        _warnings.simplefilter("always")
+        cc, cb, _ = sp.spgemm_pallas(
+            jnp.asarray(ac), jnp.asarray(ab), jnp.asarray(ac),
+            jnp.asarray(ab), k_out=8, interpret=True, band_mode="force")
+    assert any("regime" in str(w.message) for w in got)
+    rc, rb = bell.spgemm_candidates(jnp.asarray(ac), jnp.asarray(ab),
+                                    jnp.asarray(ac), jnp.asarray(ab),
+                                    col_offset=0, k_out=8)
+    assert np.allclose(bell.to_dense(cc, cb, nbc=R),
+                       bell.to_dense(rc, rb, nbc=R), atol=1e-4)
 
 
 def test_native_fill_nb_bound():

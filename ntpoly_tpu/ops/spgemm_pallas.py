@@ -587,12 +587,26 @@ def _kernel_v4(acols_ref, gg0_ref, wlo_ref, bflag_ref, ug_ref,
     # per-(i, s) path.
     batched_ok = precision != "highest"
 
+    # Slots with s + kb > span cannot hold data on a band_ok matrix:
+    # band_plan.span_ok asserts gg0 + kb <= span for every VALID slot,
+    # and gg0 == s on a uniform group — so those high slots are EMPTY
+    # (zero blocks) on every row and are skipped, not accumulated.
+    # Without the skip the static panel slice overflows whenever the
+    # operands' capacity padding makes ka + kb - 1 > span (k_out), e.g.
+    # a k_out=8 solve over matrices padded to capacity 8.
     @pl.when(ug_ref[g] != 0 if batched_ok else jnp.bool_(False))
     def _():
         for s in range(ka):
+            if s + kb > span:
+                break
             part = _split_dot(arow_ref[:, s], bwide[pl.ds(s, g_rows)],
                               True)
             pacc[:, :, s * bs:(s + kb) * bs] += part
+
+    # kb <= span for every shape with any valid slot (span_ok again);
+    # the min() keeps the slice well-formed in the degenerate all-EMPTY
+    # trace where kb > span and the whens never fire.
+    wdt = min(kb, span)
 
     @pl.when(ug_ref[g] == 0 if batched_ok else jnp.bool_(True))
     def _():
@@ -607,7 +621,8 @@ def _kernel_v4(acols_ref, gg0_ref, wlo_ref, bflag_ref, ug_ref,
                     part = _split_dot(arow_ref[i, s], bwide[local],
                                       False)
                     off = gg0_ref[r * ka + s] * bs
-                    pacc[i, :, pl.ds(off, kb * bs)] += part
+                    pacc[i, :, pl.ds(off, wdt * bs)] += \
+                        part[:, :wdt * bs]
     # fused epilogue per block slice over the whole group: scale +
     # threshold flush + store + sublane-reduced norm — one read of pacc
     # and one write of oblk per element (r4 paid a full-width scale pass

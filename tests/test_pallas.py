@@ -290,6 +290,42 @@ def test_kernel_v4_band_offsets(rng, monkeypatch):
     assert np.allclose(d_ref, d_got, atol=1e-4)
 
 
+def test_kernel_v4_capacity_padded_span_traces(rng, monkeypatch):
+    """r5 regression: capacity-padded band operands (ka + kb - 1 > span)
+    must TRACE — the batched uniform path's static panel writes used to
+    overflow the span-narrowed accumulator whenever the capacity padding
+    made ka + kb - 1 exceed k_out (the trs4_100k/1m bench shapes: a
+    k_out=8 solve over matrices padded to capacity 8 crashed at trace
+    time inside lax.cond's band arm even though the runtime pick falls
+    back).  Slots with s + kb > span are EMPTY by band_plan.span_ok and
+    are skipped."""
+    import jax.numpy as jnp
+    from ntpoly_tpu.config import EMPTY
+    from ntpoly_tpu.ops import spgemm_pallas as sp
+
+    monkeypatch.setattr(sp, "V3_MIN_ROWS", 1)
+    bs, R, K = 8, 32, 8                  # capacity 8, two valid slots
+    ac = np.full((R, K), EMPTY, np.int32)
+    ab = np.zeros((R, K, bs, bs), np.float32)
+    for r in range(R):
+        cols = [c for c in (r, r + 1) if c < R]
+        ac[r, :len(cols)] = cols
+        ab[r, :len(cols)] = rng.standard_normal(
+            (len(cols), bs, bs)).astype(np.float32)
+    k_out = 8                            # < ka + kb - 1 = 15
+    cc, cb, _ = sp.spgemm_pallas(jnp.asarray(ac), jnp.asarray(ab),
+                                 jnp.asarray(ac), jnp.asarray(ab),
+                                 k_out=k_out, interpret=True)
+    from ntpoly_tpu.core import bell
+    ref_c, ref_b = bell.spgemm(
+        jnp.asarray(ac), jnp.asarray(ab), jnp.asarray(ac),
+        jnp.asarray(ab), col_offset=0, nbc_out=R, k_out=k_out,
+        threshold=0.0, alpha=1.0, row_chunk=8)
+    d_ref = np.asarray(bell.to_dense(ref_c, ref_b, nbc=R))
+    d_got = np.asarray(bell.to_dense(cc, cb, nbc=R))
+    assert np.allclose(d_ref, d_got, atol=1e-4)
+
+
 def test_band_mode_force_and_violation(rng, monkeypatch):
     """r4: band_mode='force' compiles only the band arm; a violated
     band assumption poisons the fill count (detected by the caller's

@@ -537,18 +537,31 @@ def _purity_invariants(rho, h, nel, threshold=1e-7):
     Residuals are formed EXPLICITLY before the norm dots (a difference
     of large dot products would cancel catastrophically in f32); the
     trace rides the compensated pair."""
+    import contextlib
     from ntpoly_tpu.parallel import algebra as alg
 
-    k2 = alg.matmul(rho, rho, threshold=threshold)
-    r = alg.increment(k2, rho, 1.0, -1.0)
-    idem = float(np.sqrt(max(np.real(np.asarray(alg.dot(r, r))), 0.0)
-                         / np.real(np.asarray(alg.dot(rho, rho)))))
-    tr = alg.host_pair(alg.trace_pair(rho))
-    kh = alg.matmul(rho, h, threshold=threshold)
-    hk = alg.matmul(h, rho, threshold=threshold)
-    c = alg.increment(kh, hk, 1.0, -1.0)
-    comm = float(np.sqrt(max(np.real(np.asarray(alg.dot(c, c))), 0.0)
-                         / np.real(np.asarray(alg.dot(kh, kh)))))
+    # at the 2^20 shape only the single-arm band kernel fits HBM (the
+    # scatter arms OOM); the full-span+compact multiply keeps it exact
+    # up to the threshold flush
+    big = rho.blocks.nbytes >= (2 << 30)
+    ctx = alg.capacity_policy(k_out=max(rho.k, h.k),
+                              method="pallas_band",
+                              on_overflow="truncate") if big else \
+        contextlib.nullcontext()
+    with ctx:
+        k2 = alg.matmul(rho, rho, threshold=threshold)
+        r = alg.increment(k2, rho, 1.0, -1.0)
+        del k2
+        idem = float(np.sqrt(max(np.real(np.asarray(alg.dot(r, r))), 0.0)
+                             / np.real(np.asarray(alg.dot(rho, rho)))))
+        del r
+        tr = alg.host_pair(alg.trace_pair(rho))
+        kh = alg.matmul(rho, h, threshold=threshold)
+        hk = alg.matmul(h, rho, threshold=threshold)
+        c = alg.increment(kh, hk, 1.0, -1.0)
+        del hk
+        comm = float(np.sqrt(max(np.real(np.asarray(alg.dot(c, c))), 0.0)
+                             / np.real(np.asarray(alg.dot(kh, kh)))))
     return {"idempotency_rel": idem,
             "trace_abs_err": abs(tr - nel),
             "commutator_rel": comm}
@@ -582,19 +595,23 @@ def bench_trs4_1m(grid, on_cpu):
     # the polynomial multiply.  pallas_band compiles only the band
     # kernel arm (the general fallback's buffers are the rest of the
     # margin).
-    # converge_diff: the energy scale here is ~9e4, so a PLAIN f32
-    # energy trace resolves only ~0.01 absolute.  compensated_scalars
-    # resolves the monitored energy to ~eps^2 * |E| (~1e-6 absolute —
-    # core/bell.py comp_sum, certified against a float64 oracle in
-    # tests/test_bell.py), so converge_diff=1e-3 is certifiable: the
-    # monitor sees real f64-grade energy differences, not quantization
-    # noise (VERDICT r4 next #7; BASELINE config 5's 1e-6-spirit).
-    # convergence_metric='energy' pinned: the converge_diff=1e-3 claim
-    # IS an energy statement, certified by the compensated trace
+    # Convergence: the idempotency VALUE metric (plateau-detected).
+    # Measured at this scale (30-iteration trace, ROUND5_NOTES.md): the
+    # solve converges in ~7 iterations (idempotency residual decays
+    # 4e-1 -> 5e-8 = the f32 arithmetic floor), after which trace_gx
+    # cancels to f32 noise, sigma blows past the clamps, and the clamp
+    # branches make the energy chatter by ~0.1-0.5 forever — an
+    # energy-DIFF criterion below that chatter is unreachable at f32 no
+    # matter how the trace is summed.  What IS certifiable: the
+    # REPORTED energy rides the compensated (hi, lo) pair (comp_sum:
+    # summation error ~eps^2*|E| ~= 1e-6 absolute, certified vs a
+    # float64 oracle in tests/test_bell.py), and the converged state
+    # carries on-chip invariant certificates (idempotency, trace,
+    # commutator) on this bench line (VERDICT r4 next #4/#7).
     params = SolverParameters(converge_diff=1e-3, threshold=1e-7,
                               iters_per_sync=1,
                               compensated_scalars=True,
-                              convergence_metric="energy",
+                              convergence_metric="idempotency",
                               k_out=10 if on_cpu else 5,
                               matmul_method=None if on_cpu
                               else "pallas_band",
@@ -625,9 +642,9 @@ def bench_trs4_1m(grid, on_cpu):
           s_per_iteration=(wall / iters) if iters else None,
           rho_nnz=rho_nnz,
           nnz_per_s=(iters * nnz_per_iter / wall) if iters else None,
-          converge_diff=params.converge_diff,
-          tolerance_certified_by="compensated two-float energy trace "
-                                 "(comp_sum: ~eps^2*|E| ~= 1e-6 abs)",
+          convergence="idempotency plateau (f32 floor ~5e-8/electron)",
+          energy_certified_by="compensated two-float energy trace "
+                              "(comp_sum: ~eps^2*|E| ~= 1e-6 abs)",
           **inv)
 
 

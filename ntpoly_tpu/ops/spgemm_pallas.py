@@ -449,18 +449,27 @@ def band_plan(a_cols: Array, b_cols: Array, k_out: int,
     has_b = jnp.any(validb, axis=1)
     b_ok = jnp.all(~has_b | (base_min == base_max))
     base = jnp.where(has_b, base_min, 0).astype(jnp.int32)
+    # ACTUAL data extent of each B row (last valid slot position + 1),
+    # not the structural capacity KB: capacity-padded operands (EMPTY
+    # high slots = zero blocks, e.g. a k_out=5 solve whose iterate
+    # carries capacity 5 with 3 filled) would otherwise be flagged as
+    # span violations even though their data fits.  The kernel's
+    # structural-width writes beyond ext land in the accumulator's
+    # slack region (KB - 1 extra blocks) and only ever add zeros.
+    ext = jnp.max(jnp.where(validb, t_idx + 1, 0), axis=1)   # [NBK]
     valida = a_cols != EMPTY
     ks = jnp.where(valida, a_cols, 0)
     rbase = jnp.where(valida, base[ks], big)                 # [R, KA]
     occ0 = jnp.min(rbase, axis=1)                            # [R]
     occ0 = jnp.where(occ0 == big, 0, occ0)
-    hi = jnp.max(jnp.where(valida, rbase + KB, -big), axis=1)
+    hi = jnp.max(jnp.where(valida, rbase + ext[ks], -big), axis=1)
     span_ok = jnp.all(~jnp.any(valida, axis=1)
                       | (hi - occ0 <= min(span, k_out)))
     # base can only be negative for a (zero-block) head hole pattern
-    # like cols [EMPTY, 0, ...]; clamp so offsets stay in range
+    # like cols [EMPTY, 0, ...]; clamp so offsets stay in range (valid
+    # slots satisfy gg0 <= span - 1 under span_ok: ext >= 1 each)
     gg0 = jnp.clip(jnp.where(valida, rbase - occ0[:, None], 0),
-                   0, max(min(span, k_out) - KB, 0)).astype(jnp.int32)
+                   0, max(min(span, k_out) - 1, 0)).astype(jnp.int32)
     return gg0, occ0.astype(jnp.int32), b_ok & span_ok
 
 
@@ -587,26 +596,21 @@ def _kernel_v4(acols_ref, gg0_ref, wlo_ref, bflag_ref, ug_ref,
     # per-(i, s) path.
     batched_ok = precision != "highest"
 
-    # Slots with s + kb > span cannot hold data on a band_ok matrix:
-    # band_plan.span_ok asserts gg0 + kb <= span for every VALID slot,
-    # and gg0 == s on a uniform group — so those high slots are EMPTY
-    # (zero blocks) on every row and are skipped, not accumulated.
-    # Without the skip the static panel slice overflows whenever the
-    # operands' capacity padding makes ka + kb - 1 > span (k_out), e.g.
-    # a k_out=8 solve over matrices padded to capacity 8.
+    # pacc carries kb - 1 SLACK blocks past the span (see
+    # _call_kernel_v4): every write is the full structural width kb at
+    # offset gg0 <= span - 1, so it always fits, and columns beyond a
+    # B row's actual data extent only ever add zeros into the slack.
+    # Slots at s >= span cannot hold data under band_plan.span_ok
+    # (every valid slot keeps at least one real column inside the
+    # span), so the batched loop stops there — without the stop, the
+    # static loop over capacity-padded operands (ka + kb - 1 > span)
+    # ran off the panel entirely (the r5 trs4_100k/1m trace crash).
     @pl.when(ug_ref[g] != 0 if batched_ok else jnp.bool_(False))
     def _():
-        for s in range(ka):
-            if s + kb > span:
-                break
+        for s in range(min(ka, span)):
             part = _split_dot(arow_ref[:, s], bwide[pl.ds(s, g_rows)],
                               True)
             pacc[:, :, s * bs:(s + kb) * bs] += part
-
-    # kb <= span for every shape with any valid slot (span_ok again);
-    # the min() keeps the slice well-formed in the degenerate all-EMPTY
-    # trace where kb > span and the whens never fire.
-    wdt = min(kb, span)
 
     @pl.when(ug_ref[g] == 0 if batched_ok else jnp.bool_(True))
     def _():
@@ -621,8 +625,7 @@ def _kernel_v4(acols_ref, gg0_ref, wlo_ref, bflag_ref, ug_ref,
                     part = _split_dot(arow_ref[i, s], bwide[local],
                                       False)
                     off = gg0_ref[r * ka + s] * bs
-                    pacc[i, :, pl.ds(off, wdt * bs)] += \
-                        part[:, :wdt * bs]
+                    pacc[i, :, pl.ds(off, kb * bs)] += part
     # fused epilogue per block slice over the whole group: scale +
     # threshold flush + store + sublane-reduced norm — one read of pacc
     # and one write of oblk per element (r4 paid a full-width scale pass
@@ -683,7 +686,10 @@ def _call_kernel_v4(a_cols, gg0, wlo, bflag, scal, a_blocks, b_raw,
         scratch_shapes=[
             pltpu.VMEM((2, w, kb, bs, bs), a_blocks.dtype),
             pltpu.VMEM((w, bs, kb * bs), a_blocks.dtype),
-            pltpu.VMEM((g_rows, bs, span * bs), dt),
+            # kb - 1 slack blocks past the span: structural-width
+            # writes at gg0 <= span - 1 always fit; the slack only
+            # ever receives zeros (beyond a B row's actual extent)
+            pltpu.VMEM((g_rows, bs, (span + kb - 1) * bs), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -791,7 +797,9 @@ def _v4_pick(ka: int, kb: int, k_out: int, bs: int, in_item: int,
                 + 2 * g * ka * bs * bs * in_item        # pipelined A x2
                 + 2 * g * k_out * bs * bs * out_item    # pipelined out x2
                 + 2 * g * k_out * bs * out_item         # norms
-                + g * bs * span * bs * out_item)        # span accumulator
+                # span accumulator + kb-1 slack (structural-width
+                # writes at gg0 <= span-1 always fit)
+                + g * bs * (span + kb - 1) * bs * out_item)
         if vmem <= V3_VMEM_BUDGET:
             return g, w
     return None, None

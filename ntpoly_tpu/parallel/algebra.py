@@ -152,6 +152,30 @@ __all__ = [
 # SpGEMM
 # ----------------------------------------------------------------------------
 
+def _compact_rows(cc, cb, k_out: int):
+    """bell.compact, lax.scan-chunked over row slices on big shards —
+    the one-shot sort/gather over a full-span [nbr, ka+kb-1] table adds
+    ~2 table-sized temporaries (the 2^20-row full-span band multiply's
+    second OOM); chunks bound them."""
+    nbr = cc.shape[0]
+    split = 1
+    if nbr >= 512:
+        split = next((s for s in range(nbr // 256, nbr // 32 + 1)
+                      if s > 1 and nbr % s == 0), 1)
+    if split == 1:
+        return bell.compact(cc, cb, k_out)
+    rows = nbr // split
+
+    def body(_, i):
+        c = lax.dynamic_slice_in_dim(cc, i * rows, rows, axis=0)
+        b = lax.dynamic_slice_in_dim(cb, i * rows, rows, axis=0)
+        return None, bell.compact(c, b, k_out)
+
+    _, (oc, ob) = lax.scan(body, None, jnp.arange(split, dtype=jnp.int32))
+    return (oc.reshape((nbr,) + oc.shape[2:]),
+            ob.reshape((nbr,) + ob.shape[2:]))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "pnb", "k_out", "s_slices", "row_chunk",
@@ -189,15 +213,36 @@ def _summa(a_cols, a_blocks, b_cols, b_blocks, alpha, working_thresh,
             agb = agb * keep[..., None, None].astype(agb.dtype)
         c0 = lax.axis_index("cols") * pnb
         if method in ("pallas", "pallas_band"):
+            # FULL-SPAN band multiply: the band kernel's contiguous
+            # output window cannot express a top-k_out-by-rank
+            # truncation, so when the pinned capacity is below the
+            # structural product span (ka + kb - 1 — every purification
+            # multiply at the 2^20 bench shape: 5 + 5 - 1 = 9 > 5) the
+            # kernel runs at the full span, the threshold flush empties
+            # the decayed tails, and bell.compact re-bases to k_out.
+            # r4 instead clipped the accumulate offsets to the left
+            # edge of the window, silently dropping the right half of
+            # the band.  The fill stat reports the FILTERED need
+            # (surviving slots) — the reference pool's semantic, which
+            # sizes to the thresholded result (GemmMatrix.f90:48-56).
+            k_run = k_out
+            if method == "pallas_band":
+                k_run = max(k_out, min(
+                    pnb, agc.shape[-1] + bgc.shape[-1] - 1))
             cc, cb, bucnt = spgemm_pallas.spgemm_pallas(
-                agc, agb, bgc, bgb, k_out=k_out,
+                agc, agb, bgc, bgb, k_out=k_run,
                 threshold=working_thresh, alpha=alpha, interpret=interpret,
                 precision=precision,
                 band_mode="force" if method == "pallas_band" else "auto")
-            if method == "pallas_band":
+            if method == "pallas_band" and k_run > k_out:
                 # the kernel's fill count is poisoned to 2^30 when the
-                # band assumption is violated — surface it through the
-                # same stats word the overflow machinery reads
+                # band assumption is violated (non-contiguous B rows)
+                bad = jnp.max(bucnt) >= jnp.int32(EMPTY)
+                cnt = jnp.max(jnp.sum(cc != EMPTY, axis=-1))
+                cc, cb = _compact_rows(cc, cb, k_out)
+                fill = jnp.where(bad, jnp.int32(EMPTY),
+                                 cnt.astype(jnp.int32))
+            elif method == "pallas_band":
                 fill = jnp.maximum(fill, jnp.max(bucnt))
         elif method == "dense":
             cc, cb = bell.spgemm_dense(
@@ -423,20 +468,32 @@ def _increment_n_jit(mats: tuple, coeffs: tuple, threshold, k_out: int):
     # otherwise dominate HBM (measured 5 GB + 2x2.5 GB per increment in
     # the 2^20-row TRS4 chunk program); lax.map bounds them to the
     # chunk.  Multi-device meshes shard the row axis anyway.
-    split = nbr // 256 if (a.grid.n_devices == 1 and nbr >= 512) else 1
-    if split > 1 and nbr % split == 0:
-        def body(ops):
-            cs, bs_ = ops
-            return bell.add_n(cs, bs_, coeffs, threshold=threshold,
-                              k_out=k_out)
+    # smallest chunk count giving <=256-row chunks that divides nbr
+    # (chunks no finer than 32 rows; non-divisible sizes fall back to
+    # the one-shot merge, which is only reached at small nbr anyway)
+    split = 1
+    if a.grid.n_devices == 1 and nbr >= 512:
+        split = next((s for s in range(nbr // 256, nbr // 32 + 1)
+                      if s > 1 and nbr % s == 0), 1)
+    if split > 1:
+        # lax.scan over dynamic row slices — the previous lax.map form
+        # pre-reshaped every operand through moveaxis, materializing a
+        # transposed COPY of each input (~6 GB transient for the
+        # three-term 2^20-row merge: the r5 eager flagship OOM).  The
+        # scan body slices the operands in place; only the stacked
+        # output pays one reshape copy.
+        rows = nbr // split
 
-        def resh(arr):
-            return jnp.moveaxis(
-                arr.reshape((arr.shape[0], split, nbr // split)
-                            + arr.shape[2:]), 1, 0)
+        def body(_, i):
+            cs = [jax.lax.dynamic_slice_in_dim(c, i * rows, rows, axis=1)
+                  for c in cols_l]
+            bs_ = [jax.lax.dynamic_slice_in_dim(b, i * rows, rows, axis=1)
+                   for b in blocks_l]
+            return None, bell.add_n(cs, bs_, coeffs, threshold=threshold,
+                                    k_out=k_out)
 
-        cc, cb = jax.lax.map(body, (tuple(resh(c) for c in cols_l),
-                                    tuple(resh(b) for b in blocks_l)))
+        _, (cc, cb) = jax.lax.scan(body, None,
+                                   jnp.arange(split, dtype=jnp.int32))
         cc = jnp.moveaxis(cc, 0, 1).reshape(
             (a.col_ids.shape[0], nbr) + cc.shape[3:])
         cb = jnp.moveaxis(cb, 0, 1).reshape(
@@ -554,10 +611,48 @@ def trace_pair(a: PSMatrix) -> jax.Array:
 
 @jax.jit
 def dot_pair(a: PSMatrix, b: PSMatrix) -> jax.Array:
-    """Compensated real part of DotMatrix -> [2] (hi, lo)."""
-    prod = bell.align_mul(a.col_ids, jnp.conj(a.blocks),
-                          b.col_ids, b.blocks)
-    return bell.comp_sum(jnp.real(prod))
+    """Compensated real part of DotMatrix -> [2] (hi, lo).
+
+    ROW-CHUNKED: the aligned product plus the pairwise two-sum tree of
+    a full-capacity 2^20-row operand materializes ~5 matrix-sized
+    temporaries (~13 GB — the r5 eager flagship OOMed exactly here);
+    a lax.scan over row chunks bounds the live set to ~4 chunk-sized
+    arrays.  The error model is unchanged: each chunk's pairwise
+    two-sum is exact, and chunks combine into the carry by another
+    two-sum, so hi + lo still resolves the total to ~n*eps^2."""
+    from jax import lax
+
+    nb = int(a.col_ids.shape[-2])
+    per_row = int(np.prod(a.blocks.shape[-3:]))     # k * bs * bs
+    budget = 16 * 1024 * 1024                       # elements per chunk
+    rows_budget = max(1, budget // max(per_row, 1))
+    c = next((cand for cand in range(1, nb + 1)
+              if nb % cand == 0 and nb // cand <= rows_budget), nb)
+    if c == 1:
+        prod = bell.align_mul(a.col_ids, jnp.conj(a.blocks),
+                              b.col_ids, b.blocks)
+        return bell.comp_sum(jnp.real(prod))
+    rows = nb // c
+
+    def step(carry, idx):
+        sl_ac = lax.dynamic_slice_in_dim(a.col_ids, idx * rows, rows,
+                                         axis=a.col_ids.ndim - 2)
+        sl_ab = lax.dynamic_slice_in_dim(a.blocks, idx * rows, rows,
+                                         axis=a.blocks.ndim - 4)
+        sl_bc = lax.dynamic_slice_in_dim(b.col_ids, idx * rows, rows,
+                                         axis=b.col_ids.ndim - 2)
+        sl_bb = lax.dynamic_slice_in_dim(b.blocks, idx * rows, rows,
+                                         axis=b.blocks.ndim - 4)
+        prod = bell.align_mul(sl_ac, jnp.conj(sl_ab), sl_bc, sl_bb)
+        p = bell.comp_sum(jnp.real(prod))
+        s = carry[0] + p[0]
+        t = s - carry[0]
+        err = (carry[0] - (s - t)) + (p[0] - t)
+        return jnp.stack([s, carry[1] + p[1] + err]), None
+
+    init = jnp.zeros((2,), jnp.real(jnp.zeros((), a.blocks.dtype)).dtype)
+    out, _ = lax.scan(step, init, jnp.arange(c))
+    return out
 
 
 def host_pair(p) -> float:

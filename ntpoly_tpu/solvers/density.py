@@ -39,6 +39,21 @@ def _trs4_scalars_jit(a, b):
                        _jnp.real(alg.trace(b))])
 
 
+_FENCE_BYTES = 2 << 30
+
+
+def _fence_large(m) -> None:
+    """One-scalar completion fence for eager loops at huge shapes.
+
+    Async dispatch claims every enqueued op's output buffer up front;
+    without any per-op sync the transient live set of one purification
+    iteration at 2^20 rows exceeds HBM (a consumed-but-pending input
+    cannot free).  Reading back a single element (4 bytes over the
+    tunnel) bounds the run-ahead without streaming any matrix data."""
+    if m.blocks.nbytes >= _FENCE_BYTES:
+        _np.asarray(m.blocks[(0,) * m.blocks.ndim])
+
+
 def _metric(params) -> str:
     """Resolve SolverParameters.convergence_metric ('auto': energy-diff
     parity at full precision, the noise-robust idempotency residual for
@@ -477,6 +492,14 @@ def trs4(h, isq, trace, params: SolverParameters | None = None):
                             (sigma - 3.0, 4.0 - 2.0 * sigma, sigma),
                             threshold=params.threshold)
                         del x                # free before the multiply
+                        # r5's deferred checks removed every per-op
+                        # sync, so the host runs ahead: the X2@poly
+                        # buffers are claimed while the OLD X (poly's
+                        # input) is still allocated — ~16 GB transient
+                        # at the 2^20-row shape (observed OOM).  At
+                        # large shapes a one-scalar fence lets the old
+                        # X free before the multiply allocates.
+                        _fence_large(poly)
                         x = alg.matmul(x2, poly,
                                        threshold=params.threshold)
                         del poly

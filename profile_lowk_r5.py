@@ -67,6 +67,9 @@ def scanner(body, *args):
 def main():
     grid = ProcessGrid(1, 1, 1, devices=jax.devices()[:1])
     dim, bs, band = 524288, 128, 24
+    shp = os.environ.get("NTX_LOWK_SHAPE")
+    if shp:                       # "dim,band" override (e.g. the 16k
+        dim, band = map(int, shp.split(","))   # headline shape 16384,160)
     h = PM.banded(dim, band, _chain_fn(dim), bs=bs, grid=grid,
                   dtype=np.float32)
     k_out = int(alg.fill_bound(h, h))

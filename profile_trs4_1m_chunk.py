@@ -40,7 +40,7 @@ def main():
         params = SolverParameters(converge_diff=1e-3, threshold=1e-7,
                                   iters_per_sync=ips,
                                   compensated_scalars=True,
-                                  convergence_metric="energy",
+                                  convergence_metric="idempotency",
                                   k_out=5, matmul_method="pallas_band",
                                   on_overflow="warn", be_verbose=True)
         try:
